@@ -1,0 +1,120 @@
+"""Synthetic genome / read-library simulator.
+
+The reference ships no test data (bowtie2 + QUAST archives are missing blobs),
+so correctness is established against simulated ground truth: generate a true
+genome, punch N-gaps into a draft copy, simulate paired-end Illumina-like
+reads from the truth, then check the pipeline restores the gapped bases.
+
+Read geometry matches what the reference expects from bowtie2 (FR orientation:
+mate1 forward at fragment start, mate2 reverse-complemented at fragment end;
+insert size == outer fragment length).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .dtypes import revcomp
+from .genome import Genome
+from .io.fastq import ReadBatch
+
+
+@dataclass
+class SimConfig:
+    genome_len: int = 200_000
+    n_contigs: int = 2
+    n_gaps: int = 20
+    gap_len_range: tuple[int, int] = (5, 120)
+    read_len: int = 100
+    insert_mean: float = 300.0
+    insert_sd: float = 30.0
+    coverage: float = 30.0
+    error_rate: float = 0.005
+    seed: int = 0
+
+
+@dataclass
+class SimData:
+    truth: Genome
+    draft: Genome  # truth with gaps replaced by Ns (same lengths — round 1 gaps)
+    reads1: ReadBatch
+    reads2: ReadBatch
+    true_pos: np.ndarray  # (n_pairs,) fragment start (contig-local)
+    true_contig: np.ndarray
+    true_insert: np.ndarray
+
+
+def simulate(cfg: SimConfig) -> SimData:
+    rng = np.random.default_rng(cfg.seed)
+
+    # --- truth genome -----------------------------------------------------
+    lens = np.full(cfg.n_contigs, cfg.genome_len // cfg.n_contigs, dtype=np.int64)
+    contigs = [rng.integers(0, 4, size=int(L), dtype=np.int8) for L in lens]
+    truth = Genome([f"scaf{i}" for i in range(cfg.n_contigs)], contigs)
+
+    # --- draft with gaps --------------------------------------------------
+    draft_contigs = [c.copy() for c in contigs]
+    margin = int(cfg.insert_mean * 2)
+    placed = 0
+    attempts = 0
+    min_sep = 2 * cfg.read_len + 50
+    occupied: dict[int, list[tuple[int, int]]] = {i: [] for i in range(cfg.n_contigs)}
+    while placed < cfg.n_gaps and attempts < cfg.n_gaps * 50:
+        attempts += 1
+        ci = int(rng.integers(0, cfg.n_contigs))
+        glen = int(rng.integers(cfg.gap_len_range[0], cfg.gap_len_range[1] + 1))
+        L = len(draft_contigs[ci])
+        if L < 2 * margin + glen:
+            continue
+        start = int(rng.integers(margin, L - margin - glen))
+        if any(abs(start - s) < min_sep + gl for s, gl in occupied[ci]):
+            continue
+        draft_contigs[ci][start : start + glen] = 4
+        occupied[ci].append((start, glen))
+        placed += 1
+    draft = Genome(list(truth.names), draft_contigs)
+
+    # --- paired reads from the truth -------------------------------------
+    n_pairs = int(cfg.coverage * truth.total_length() / (2 * cfg.read_len))
+    ci = rng.integers(0, cfg.n_contigs, size=n_pairs)
+    inserts = np.maximum(
+        rng.normal(cfg.insert_mean, cfg.insert_sd, size=n_pairs).astype(np.int64),
+        cfg.read_len + 2,
+    )
+    starts = np.zeros(n_pairs, dtype=np.int64)
+    for k in range(cfg.n_contigs):
+        m = ci == k
+        hi = len(contigs[k]) - inserts[m] - 1
+        starts[m] = (rng.random(m.sum()) * np.maximum(hi, 1)).astype(np.int64)
+
+    L = cfg.read_len
+    seq1 = np.zeros((n_pairs, L), dtype=np.int8)
+    seq2 = np.zeros((n_pairs, L), dtype=np.int8)
+    for k in range(cfg.n_contigs):
+        m = np.flatnonzero(ci == k)
+        if m.size == 0:
+            continue
+        c = contigs[k]
+        idx1 = starts[m][:, None] + np.arange(L)[None, :]
+        seq1[m] = c[idx1]
+        ends = starts[m] + inserts[m]
+        idx2 = ends[:, None] - 1 - np.arange(L)[None, :]  # reversed slice
+        from .dtypes import COMPLEMENT
+
+        seq2[m] = COMPLEMENT[c[idx2]]
+
+    # sequencing errors: substitute uniformly at error_rate
+    for seq in (seq1, seq2):
+        errs = rng.random(seq.shape) < cfg.error_rate
+        if errs.any():
+            shift = rng.integers(1, 4, size=int(errs.sum()), dtype=np.int8)
+            seq[errs] = (seq[errs] + shift) % 4
+
+    lens_arr = np.full(n_pairs, L, dtype=np.int32)
+    qual = np.full((n_pairs, L), ord("I"), dtype=np.uint8)
+    reads1 = ReadBatch(seq1, lens_arr.copy(), qual.copy())
+    reads2 = ReadBatch(seq2, lens_arr.copy(), qual.copy())
+
+    return SimData(truth, draft, reads1, reads2, starts, ci.astype(np.int32), inserts)
