@@ -1,0 +1,110 @@
+"""K-mer index over the (gapped) genome.
+
+TPU-native replacement for ``bowtie2-build`` (RunFigbird.sh:277,330): instead
+of an FM index walked by a serial CPU search, we build a *sorted k-mer table*
+— ``(code, position)`` pairs sorted by code — that devices query with
+``searchsorted`` (binary search vectorised over the whole read batch).
+
+The genome is flattened with an N-run pad between contigs so alignment windows
+can never silently span a contig boundary (N never scores as a match).
+Positions stored in the table are *padded-flat* coordinates; helpers convert
+to (contig, local_pos).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..dtypes import GAP_CODE
+from ..genome import Genome
+
+
+@dataclass
+class KmerIndex:
+    k: int
+    flat: np.ndarray          # (Gpad,) int8 padded genome
+    offsets: np.ndarray       # (n_contigs,) int64 start of each contig in flat
+    contig_lengths: np.ndarray  # (n_contigs,) int64
+    sorted_codes: np.ndarray  # (M,) int64 k-mer codes, ascending
+    sorted_pos: np.ndarray    # (M,) int64 padded-flat position of each k-mer
+    pad: int
+
+    @property
+    def n_contigs(self) -> int:
+        return len(self.offsets)
+
+    def flat_to_contig(self, flat_pos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Convert padded-flat positions to (contig_index, local_pos).
+
+        Positions inside inter-contig padding clamp into the nearest preceding
+        contig (callers mask those out via alignment validity).
+        """
+        flat_pos = np.asarray(flat_pos)
+        ci = np.searchsorted(self.offsets, flat_pos, side="right") - 1
+        ci = np.clip(ci, 0, self.n_contigs - 1)
+        return ci, flat_pos - self.offsets[ci]
+
+    def contig_to_flat(self, contig: np.ndarray, pos: np.ndarray) -> np.ndarray:
+        return self.offsets[np.asarray(contig)] + np.asarray(pos)
+
+
+def _rolling_codes(seq: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorised k-mer codes: ``code[i] = sum_j seq[i+j] * 4**(k-1-j)``.
+
+    Returns (codes int64 (n-k+1,), valid bool) where valid means the window
+    contains no N.
+    """
+    n = len(seq)
+    if n < k:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool)
+    m = n - k + 1
+    codes = np.zeros(m, dtype=np.int64)
+    valid = np.ones(m, dtype=bool)
+    s = seq.astype(np.int64)
+    for j in range(k):
+        w = s[j : j + m]
+        codes = codes * 4 + np.minimum(w, 3)
+        valid &= w < 4
+    return codes, valid
+
+
+def build_index(genome: Genome, k: int = 15, pad: int = 256) -> KmerIndex:
+    """Build the sorted k-mer table over all contigs.
+
+    Windows containing N are excluded (the draft's gaps are N-runs, so gap
+    interiors are never seed targets — seeds land on flanks, exactly the
+    behaviour needed for gap-spanning partial reads).
+    """
+    lens = genome.lengths
+    offsets = np.zeros(len(lens), dtype=np.int64)
+    cursor = pad
+    parts = [np.full(pad, GAP_CODE, dtype=np.int8)]
+    for i, c in enumerate(genome.contigs):
+        offsets[i] = cursor
+        parts.append(np.asarray(c, dtype=np.int8))
+        parts.append(np.full(pad, GAP_CODE, dtype=np.int8))
+        cursor += len(c) + pad
+    flat = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int8)
+
+    code_chunks: list[np.ndarray] = []
+    pos_chunks: list[np.ndarray] = []
+    for i, c in enumerate(genome.contigs):
+        codes, valid = _rolling_codes(np.asarray(c, dtype=np.int8), k)
+        idx = np.flatnonzero(valid)
+        code_chunks.append(codes[idx])
+        pos_chunks.append(idx.astype(np.int64) + offsets[i])
+
+    codes = np.concatenate(code_chunks) if code_chunks else np.zeros(0, np.int64)
+    pos = np.concatenate(pos_chunks) if pos_chunks else np.zeros(0, np.int64)
+    order = np.argsort(codes, kind="stable")
+    return KmerIndex(
+        k=k,
+        flat=flat,
+        offsets=offsets,
+        contig_lengths=lens,
+        sorted_codes=codes[order],
+        sorted_pos=pos[order],
+        pad=pad,
+    )

@@ -7,10 +7,13 @@ Must set XLA_FLAGS/JAX_PLATFORMS before jax initialises.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the shell env carries JAX_PLATFORMS=axon (remote TPU tunnel),
+# which would make every test pay remote-compile latency.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+# note: device code is written int32-clean (k<=15 codes, <2Gb flat genomes);
+# we intentionally do NOT enable x64.

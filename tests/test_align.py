@@ -1,0 +1,153 @@
+"""Aligner tests: seeding, extension, soft clips, pairing — against simulation truth."""
+
+import numpy as np
+import pytest
+
+from figbird_tpu.align import Aligner, AlignParams, build_index, build_pair_table
+from figbird_tpu.dtypes import encode, revcomp
+from figbird_tpu.genome import Genome
+from figbird_tpu.simulate import SimConfig, simulate
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return simulate(SimConfig(genome_len=100_000, n_contigs=2, n_gaps=8,
+                              coverage=4, seed=7, error_rate=0.005))
+
+
+@pytest.fixture(scope="module")
+def idx(sim):
+    return build_index(sim.truth, k=15)
+
+
+def test_index_roundtrip(idx, sim):
+    # every indexed k-mer decodes back to the right genome position
+    m = len(idx.sorted_pos)
+    take = np.linspace(0, m - 1, 50).astype(int)
+    for i in take:
+        p = idx.sorted_pos[i]
+        code = 0
+        for j in range(idx.k):
+            code = code * 4 + int(idx.flat[p + j])
+        assert code == idx.sorted_codes[i]
+
+
+def test_flat_contig_conversion(idx):
+    ci, local = idx.flat_to_contig(np.array([idx.offsets[1] + 5]))
+    assert ci[0] == 1 and local[0] == 5
+    assert idx.contig_to_flat(np.array([1]), np.array([5]))[0] == idx.offsets[1] + 5
+
+
+def test_align_exact_reads(idx, sim):
+    al = Aligner(idx, batch_size=512)
+    n = 400
+    res = al.align(sim.reads1.seq[:n], sim.reads1.length[:n])
+    flat_true = idx.contig_to_flat(sim.true_contig[:n], sim.true_pos[:n])
+    ref_start = res["pos"] + res["clip_start"]
+    ok = res["aligned"] & (res["strand"] == 0)
+    # mate1 is forward at fragment start
+    assert ok.mean() > 0.95
+    correct = (ref_start == flat_true)[ok].mean()
+    assert correct > 0.98
+
+
+def test_align_mate2_reverse(idx, sim):
+    al = Aligner(idx, batch_size=512)
+    n = 400
+    res = al.align(sim.reads2.seq[:n], sim.reads2.length[:n])
+    ok = res["aligned"]
+    assert ok.mean() > 0.95
+    assert (res["strand"][ok] == 1).mean() > 0.98
+    # reverse mate aligns at fragment end - L
+    L = sim.reads2.seq.shape[1]
+    flat_true = idx.contig_to_flat(
+        sim.true_contig[:n], sim.true_pos[:n] + sim.true_insert[:n] - L
+    )
+    ref_start = res["pos"] + res["clip_start"]
+    assert (ref_start == flat_true)[ok].mean() > 0.95
+
+
+def test_soft_clip_detection(idx, sim):
+    # construct a read whose right half is random junk: expect right clip
+    c = sim.truth.contigs[0]
+    true_start = 30_000
+    left = c[true_start : true_start + 60]
+    rng = np.random.default_rng(0)
+    junk = rng.integers(0, 4, size=40, dtype=np.int8)
+    read = np.concatenate([left, junk])[None, :]
+    al = Aligner(idx, batch_size=8)
+    res = al.align(read.astype(np.int8), np.array([100], np.int32))
+    assert res["aligned"][0]
+    assert res["clip_start"][0] == 0
+    assert res["clip_end"][0] >= 30  # most of junk clipped
+    assert res["pos"][0] + res["clip_start"][0] == idx.offsets[0] + true_start
+
+
+def test_left_clip_detection(idx, sim):
+    c = sim.truth.contigs[0]
+    true_start = 40_000
+    right = c[true_start : true_start + 60]
+    rng = np.random.default_rng(1)
+    junk = rng.integers(0, 4, size=40, dtype=np.int8)
+    read = np.concatenate([junk, right])[None, :]
+    al = Aligner(idx, batch_size=8)
+    res = al.align(read.astype(np.int8), np.array([100], np.int32))
+    assert res["aligned"][0]
+    cs = int(res["clip_start"][0])
+    assert cs >= 30  # most junk clipped (chance matches may extend a little)
+    # aligned segment maps consistently: read char cs <-> true_start - (40 - cs)
+    assert res["pos"][0] + cs == idx.offsets[0] + true_start - (40 - cs)
+
+
+def test_mismatch_mask(idx, sim):
+    c = sim.truth.contigs[0]
+    s = 20_000
+    read = c[s : s + 100].copy()
+    read[10] = (read[10] + 1) % 4
+    read[70] = (read[70] + 2) % 4
+    al = Aligner(idx, batch_size=8)
+    res = al.align(read[None, :].astype(np.int8), np.array([100], np.int32))
+    assert res["aligned"][0] and res["n_mis"][0] == 2
+    assert set(np.flatnonzero(res["mism"][0])) == {10, 70}
+
+
+def test_unaligned_read(idx):
+    rng = np.random.default_rng(3)
+    read = rng.integers(0, 4, size=(1, 100)).astype(np.int8)
+    al = Aligner(idx, batch_size=8)
+    res = al.align(read, np.array([100], np.int32))
+    assert not res["aligned"][0]
+
+
+def test_pairing(idx, sim):
+    al = Aligner(idx, batch_size=1024)
+    n = 1000
+    a1 = al.align(sim.reads1.seq[:n], sim.reads1.length[:n])
+    a2 = al.align(sim.reads2.seq[:n], sim.reads2.length[:n])
+    pt = build_pair_table(idx, a1, a2, sim.reads1.length[:n], sim.reads2.length[:n],
+                          max_insert=int(1.15 * 500))
+    assert pt.concordant.mean() > 0.9
+    m = pt.concordant
+    # insert sizes match simulation truth
+    match = (pt.insert[m] == sim.true_insert[:n][m]).mean()
+    assert match > 0.95
+    assert pt.model.mean() > 0.7
+
+
+def test_align_reads_spanning_gap_flank(sim):
+    # index the DRAFT (with N gaps): reads overlapping a gap get clipped at the edge
+    idx_d = build_index(sim.draft, k=15)
+    gaps = sim.draft.find_gaps()
+    g = gaps[0]
+    c_true = sim.truth.contigs[g.contig]
+    # read starting 50 before the gap: 50 flank chars + gap interior chars
+    start = g.start - 50
+    read = c_true[start : start + 100][None, :].astype(np.int8)
+    al = Aligner(idx_d, batch_size=8)
+    res = al.align(read, np.array([100], np.int32))
+    assert res["aligned"][0]
+    assert res["strand"][0] == 0
+    ref_start = res["pos"][0] + res["clip_start"][0]
+    assert ref_start == idx_d.offsets[g.contig] + start
+    # clipped at the gap edge: ~50 chars aligned
+    assert res["clip_end"][0] >= 40
