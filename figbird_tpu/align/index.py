@@ -88,6 +88,20 @@ def build_index(genome: Genome, k: int = 15, pad: int = 256) -> KmerIndex:
         cursor += len(c) + pad
     flat = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int8)
 
+    # native C++ fast path: rolling codes + sort over the padded flat array
+    # (N padding between contigs invalidates boundary-spanning windows)
+    if k <= 15:
+        from ..io.native import native_kmer_table
+
+        res = native_kmer_table(flat, k)
+        if res is not None:
+            codes32, pos32 = res
+            return KmerIndex(
+                k=k, flat=flat, offsets=offsets, contig_lengths=lens,
+                sorted_codes=codes32.astype(np.int64),
+                sorted_pos=pos32.astype(np.int64), pad=pad,
+            )
+
     code_chunks: list[np.ndarray] = []
     pos_chunks: list[np.ndarray] = []
     for i, c in enumerate(genome.contigs):

@@ -1,0 +1,862 @@
+"""Host orchestration of the gap-fill EM.
+
+Replaces FillGaps.cpp scheduling + the sequential control flow of
+Figbird.cpp::fillGap/finalize with:
+
+1. host pre-analysis per gap (flanks, repeat detection, negative-gap merge,
+   findFrac length ranges — analyzeGap/find_contig_match/findFrac);
+2. a *batched* device scan over gap-length candidates (`fill_batch`), whose
+   sequential early-exit heuristics are replayed on the host from the full
+   likelihood vector (fillGap 6298-6482) so the chosen length matches the
+   reference's serial scan;
+3. a finalize pass re-placing reads against the best string
+   (finalize 4929-5399) followed by the host guard battery
+   (5404-5641, recheck_sequence/recheck_partial/recompute/check_update).
+
+The reference's thread balancer (FillGaps.cpp:456-679) is replaced by shape
+bucketing: gaps are grouped by (read-count, window) bucket so each device
+launch is a dense batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes import GAP_CODE, N
+from ..genome import GapInfo, Genome
+from ..model.error_model import ErrorModel
+from ..triage.assign import GapBundle
+from .em import LN10, FillConfig, fill_batch, finalize_batch
+
+SIDE_LIMIT = 30
+GAPTHRESH = 400          # FillGaps.cpp:22 (mid_limitu)
+PARTIAL_SAME = 4         # fillGap 6258
+JUMP_SAME = 50
+PARTIAL_THRESHOLD = 2    # setParameters
+
+
+@dataclass
+class GapPlan:
+    gap: GapInfo
+    bundle: GapBundle
+    left_flank: np.ndarray   # up to side_limit chars
+    right_flank: np.ndarray
+    side_limit: int
+    skip: bool = False       # repeat/empty -> leave as N
+    neg_merge: int = 0       # >0: close gap, skip this many chars after
+    lengths: list = field(default_factory=list)
+    side_flag: bool = False
+    large_gap: bool = False
+
+
+@dataclass
+class FillResult:
+    gap_strings: list       # np.int8 arrays (the filled gap content)
+    gaptofill: np.ndarray   # per-gap skip counts
+    stats: dict
+
+
+# ---------------------------------------------------------------- analysis
+
+def _find_repeats(plan: GapPlan, partial_mode: bool) -> tuple[bool, bool]:
+    """findRepeat (1799-1911): flank substrings occurring >=2x in a partial read.
+
+    Returns (two_sided, one_sided).
+    """
+    gl = plan.left_flank
+    gr = plan.right_flank
+    n_min = 20
+    two = one = False
+    per_read_left = {}
+    for ridx, seq in enumerate(plan.bundle.p_seq):
+        s = seq.tobytes()
+        found_left = found_right = False
+        for i in range(max(len(gl) - n_min, 0)):
+            sub = gl[i:].tobytes()
+            if s.count(sub) > 1:
+                found_left = True
+                break
+        for i in range(max(len(gr) - n_min, 0)):
+            sub = gr[: len(gr) - i].tobytes()
+            if s.count(sub) > 1:
+                found_right = True
+                break
+        if found_left or found_right:
+            one = True
+        if found_left and found_right:
+            two = True
+            break
+    return two, one
+
+
+def _neg_gap_merge(plan: GapPlan, neg_overlap: int) -> int:
+    """find_contig_match (2176-2267): flank overlap verified by a partial read.
+
+    Returns the overlap length (chars to skip after the gap) or 0.
+    """
+    g = plan.gap
+    if g.length > neg_overlap:
+        return 0
+    s1 = plan.left_flank
+    s2 = plan.right_flank
+    err_thresh = 2
+    for i in range(max(plan.side_limit - 3, 0)):
+        s3 = s1[i:]
+        s4 = s2[: len(s2) - i]
+        if len(s4) == 0 or len(s3) < len(s4):
+            continue
+        # exact containment of s4 in s3
+        pos = -1
+        s3b, s4b = s3.tobytes(), s4.tobytes()
+        pos = s3b.find(s4b)
+        if pos < 0:
+            continue
+        rem = s2[len(s4):]
+        # verify junction against a partial read: the FULL left flank s1 must
+        # occur (<=2 mismatches), followed by rem (2202-2258)
+        for seq in plan.bundle.p_seq:
+            if len(seq) <= len(s1):
+                continue
+            best_match, best_pos = -1, -1
+            for j in range(len(seq) - len(s1)):
+                mism = int((seq[j : j + len(s1)] != s1).sum())
+                match = len(s1) - mism
+                if match > best_match:
+                    best_match, best_pos = match, j
+            if len(s1) - best_match <= err_thresh:
+                newpos = best_pos + len(s1)
+                if len(rem) == 0:
+                    return len(s4)
+                tail = seq[newpos : newpos + len(rem)]
+                if len(tail) == len(rem) and (tail != rem).sum() <= err_thresh:
+                    return len(s4)
+    return 0
+
+
+def _find_frac(orig: int, partial_mode: bool, partial_len: int,
+               mid_limitu: int = GAPTHRESH) -> tuple[float, float, bool]:
+    """findFrac (6879-6906): length-range fractions + large-gap flag."""
+    factor = 3 * partial_len
+    mid_limitp = 2 * partial_len
+    if partial_mode:
+        if orig <= mid_limitp // 2:
+            return 1e-5, factor / max(orig, 1), False
+        if orig <= mid_limitp:
+            return 1e-5, 5.0, False
+        return 1.0, 1.0, False
+    else:
+        if orig <= mid_limitu // 3:
+            return 0.3, factor / max(orig, 1), False
+        if orig <= mid_limitu:
+            return 0.5, 2.5, False
+        return 1.0, 1.0, True
+
+
+def plan_gaps(genome: Genome, gaps: list[GapInfo], bundles: list[GapBundle],
+              partial_mode: bool, partial_len: int, neg_overlap: int,
+              max_scan_lengths: int = 160) -> list[GapPlan]:
+    plans = []
+    for g, b in zip(gaps, bundles):
+        contig = genome.contigs[g.contig]
+        lmd = min(g.start, 10**9)
+        rroom = len(contig) - (g.start + g.length)
+        sl = min(SIDE_LIMIT, lmd, rroom)
+        lf = contig[max(g.start - sl, 0) : g.start]
+        rf = contig[g.start + g.length : g.start + g.length + sl]
+        plan = GapPlan(g, b, lf, rf, sl)
+
+        if b.n_partial == 0 and b.n_unmapped == 0:
+            plan.skip = True
+            plans.append(plan)
+            continue
+
+        two, one = _find_repeats(plan, partial_mode)
+        if partial_mode and (two or (one and g.length > 6 * partial_len)):
+            plan.skip = True
+            plans.append(plan)
+            continue
+
+        if sl > 0 and not one:
+            plan.neg_merge = _neg_gap_merge(plan, neg_overlap)
+            if plan.neg_merge > 0:
+                plans.append(plan)
+                continue
+
+        if sl < 10:
+            plan.side_flag = True
+            plan.lengths = [g.length]
+            plans.append(plan)
+            continue
+
+        f1, f2, lgf = _find_frac(g.length, partial_mode, partial_len)
+        plan.large_gap = lgf
+        lo = int(g.length * f1)
+        hi = int(g.length * f2)
+        lengths = list(range(lo, hi + 1))
+        if g.length not in lengths:
+            lengths.append(g.length)
+        if len(lengths) > max_scan_lengths:
+            # budget cap: keep a stride-sampled scan plus the original length
+            # (the reference scans every length; log the reduction)
+            stride = max(1, len(lengths) // max_scan_lengths)
+            lengths = sorted(set(lengths[::stride]) | {g.length})
+        plan.lengths = lengths
+        plans.append(plan)
+    return plans
+
+
+# ---------------------------------------------------------------- batching
+
+def _model_arrays(model: ErrorModel, L: int):
+    e = np.asarray(model.error_pos_dist, np.float32)
+    ip = np.asarray(model.in_pos_dist, np.float32)
+    dp = np.asarray(model.del_pos_dist, np.float32)
+
+    def at(v, idx):
+        return v[np.clip(idx, 0, len(v) - 1)]
+
+    j = np.arange(L)
+    jr = L - 1 - j
+    e_fwd = at(e, j)
+    e_rev = at(e, jr)
+    a_fwd = np.log(np.maximum(1 - at(e, j) - at(ip, j) - at(dp, j), 1e-30))
+    a_rev = np.log(np.maximum(1 - at(e, jr) - at(ip, jr) - at(dp, jr), 1e-30))
+    b_fwd = np.log(np.maximum(e_fwd, 1e-30))
+    b_rev = np.log(np.maximum(e_rev, 1e-30))
+    et = np.asarray(model.error_type_probs, np.float32)
+    ln_et = np.log(np.maximum(et, 1e-30))
+    ln_ins = np.log(np.maximum(np.asarray(model.insert_dist_smoothed, np.float64),
+                               1e-300)).astype(np.float32)
+    return dict(
+        e_fwd=jnp.asarray(e_fwd), e_rev=jnp.asarray(e_rev),
+        a_fwd=jnp.asarray(a_fwd), a_rev=jnp.asarray(a_rev),
+        b_fwd=jnp.asarray(b_fwd), b_rev=jnp.asarray(b_rev),
+        et=jnp.asarray(et), ln_et=jnp.asarray(ln_et),
+        ln_ins=jnp.asarray(ln_ins),
+    )
+
+
+def _pad_reads(seqs, L, n_pad, fill=GAP_CODE):
+    out = np.full((n_pad, L), fill, np.int8)
+    lens = np.zeros(n_pad, np.int32)
+    for i, s in enumerate(seqs[:n_pad]):
+        k = min(len(s), L)
+        out[i, :k] = s[:k]
+        lens[i] = k
+    return out, lens
+
+
+def _build_instances(genome: Genome, items: list[tuple[GapPlan, int]],
+                     cfg: FillConfig) -> dict:
+    """items: (plan, gap_length_candidate) -> padded instance arrays."""
+    G = len(items)
+    W, L = cfg.W, cfg.L
+    tmpl = np.full((G, W), 5, np.int8)
+    arr = dict(
+        gap_len=np.zeros(G, np.int32), orig_gap=np.zeros(G, np.int32),
+        gap_start=np.zeros(G, np.int32),
+        perfect_gap=np.zeros(G, np.int32), perfect_gaplen=np.zeros(G, np.int32),
+        ur=np.full((G, cfg.R, L), GAP_CODE, np.int8),
+        u_len=np.zeros((G, cfg.R), np.int32),
+        u_pos=np.zeros((G, cfg.R), np.int32),
+        u_rev=np.zeros((G, cfg.R), np.int8),
+        u_valid=np.zeros((G, cfg.R), bool),
+        pr=np.full((G, cfg.P, L), GAP_CODE, np.int8),
+        p_len=np.zeros((G, cfg.P), np.int32),
+        p_clip=np.zeros((G, cfg.P), np.int32),
+        p_match=np.ones((G, cfg.P), np.int32),
+        p_pos=np.zeros((G, cfg.P), np.int32),
+        p_refpos=np.full((G, cfg.P), -1, np.int32),
+        p_valid=np.zeros((G, cfg.P), bool),
+        p_qerr=np.zeros((G, cfg.P, L), np.float32),
+    )
+    for i, (plan, glen) in enumerate(items):
+        g = plan.gap
+        contig = genome.contigs[g.contig]
+        arr["gap_len"][i] = glen
+        arr["orig_gap"][i] = g.length
+        arr["gap_start"][i] = g.start
+        # template: left flank chars at [WL-k, WL); gap zone = 4 (set via codes);
+        # right flank at [WL+glen, ...)
+        ls = max(g.start - cfg.WL, 0)
+        lchars = contig[ls : g.start]
+        tmpl[i, cfg.WL - len(lchars) : cfg.WL] = lchars
+        tmpl[i, cfg.WL : cfg.WL + glen] = 4
+        rs = g.start + g.length
+        rchars = contig[rs : rs + (W - cfg.WL - glen)]
+        tmpl[i, cfg.WL + glen : cfg.WL + glen + len(rchars)] = rchars
+
+        b = plan.bundle
+        if cfg.unmapped_mode and b.n_unmapped:
+            seq, lens = _pad_reads(b.u_seq, L, cfg.R)
+            n = min(b.n_unmapped, cfg.R)
+            arr["ur"][i] = seq
+            arr["u_len"][i] = lens
+            arr["u_pos"][i, :n] = np.asarray(b.u_pos[:n], np.int32)
+            arr["u_rev"][i, :n] = np.asarray(b.u_rev[:n], np.int8)
+            arr["u_valid"][i, :n] = True
+        if b.n_partial:
+            seq, lens = _pad_reads(b.p_seq, L, cfg.P)
+            n = min(b.n_partial, cfg.P)
+            arr["pr"][i] = seq
+            arr["p_len"][i] = lens
+            arr["p_clip"][i, :n] = np.asarray(b.p_clip[:n], np.int32)
+            arr["p_match"][i, :n] = np.asarray(b.p_match[:n], np.int32)
+            arr["p_pos"][i, :n] = np.asarray(b.p_pos[:n], np.int32)
+            arr["p_refpos"][i, :n] = np.asarray(b.p_refpos[:n], np.int32)
+            arr["p_valid"][i, :n] = True
+            for k in range(n):
+                q = b.p_qual[k]
+                arr["p_qerr"][i, k, : min(len(q), L)] = q[:L]
+    arr["tmpl"] = tmpl
+    return {k: jnp.asarray(v) for k, v in arr.items()}
+
+
+# ---------------------------------------------------------------- scan replay
+
+def _replay_scan(lengths, lik, valid, orig, partial_mode, extras=None):
+    """Replay fillGap's sequential plateau/early-exit logic (6398-6478).
+
+    Returns (best_index, evaluated_count, used_read_varied).
+    """
+    same_thresh = PARTIAL_SAME if partial_mode else JUMP_SAME
+    best_i = 0
+    second = -np.inf
+    best_lik = -np.inf
+    same = 0
+    sec_same = sec_same2 = stuck = 0
+    prev_lik = 0.0
+    prev_best = -1
+    prev_u = -1
+    n_eval = 0
+    for j, (le, lk, vc) in enumerate(zip(lengths, lik, valid)):
+        n_eval = j + 1
+        if lk > best_lik:
+            second = best_lik
+            best_lik = lk
+            best_i = j
+            prev_u = vc
+        elif lk > second:
+            second = lk
+        diff = abs(prev_lik - lk)
+        same = same + 1 if diff <= 0.9 else 0
+        prev_lik = lk
+        if same == same_thresh:
+            break
+        if not partial_mode and extras is not None:
+            curr_u = vc
+            if best_i == prev_best and abs(curr_u - prev_u) <= 2:
+                sec_same += 1
+            else:
+                prev_best = best_i
+                sec_same = 0
+            if sec_same >= 2 * same_thresh:
+                break
+            if orig <= 30:
+                fl = extras["edge"][j]
+                sec_same2 = 0 if fl else sec_same2 + 1
+                if sec_same2 >= int(1.5 * same_thresh):
+                    break
+            if extras["discont"][j] and vc < 5:
+                stuck += 1
+            else:
+                stuck = 0
+            if stuck > 3 * same_thresh:
+                break
+    used = np.asarray(valid[:n_eval])
+    varied = bool(len(used) > 1 and np.any(used != used[0]))
+    return best_i, n_eval, varied
+
+
+# ---------------------------------------------------------------- host guards
+
+def _host_consensus(counts: np.ndarray, gap_len: int, cov_thresh: int = 0
+                    ) -> np.ndarray:
+    """computeSequence(1,0) on the gap zone counts (maxG,5) -> codes with N."""
+    c = counts[:gap_len]
+    mx = c.max(axis=1)
+    arg = c.argmax(axis=1)
+    out = np.where((mx > 0) & (mx > cov_thresh), arg, N).astype(np.int8)
+    return out
+
+
+def _find_region(cons: np.ndarray) -> list[tuple[int, int]]:
+    """findRegion (4594-4621): maximal N runs as (start, end) inclusive."""
+    isn = cons == N
+    if not isn.any():
+        return []
+    d = np.diff(isn.astype(np.int8))
+    starts = list(np.flatnonzero(d == 1) + 1)
+    ends = list(np.flatnonzero(d == -1))
+    if isn[0]:
+        starts = [0] + starts
+    if isn[-1]:
+        ends = ends + [len(cons) - 1]
+    return list(zip(starts, ends))
+
+
+def _find_discontinuous(pos: np.ndarray, lens: np.ndarray, accept: np.ndarray
+                        ) -> list[int]:
+    """findDiscontinous (4623-4666): adjacent overlap in [0, 2] -> N position."""
+    order = np.argsort(np.where(accept, pos, -200))
+    sp = np.where(accept, pos, -200)[order]
+    sl = lens[order]
+    out = []
+    for i in range(len(sp) - 1):
+        if sp[i] == -200:
+            continue
+        diff = sp[i] + sl[i] - sp[i + 1]
+        if 0 <= diff <= 2:  # match_count_discont/2
+            out.append(int(sp[i] + sl[i]))
+    return out
+
+
+def _recheck_sequence(cons, pos, lens, accept, orig_gap, region_perct) -> int:
+    """recheck_sequence (4668-4743): N-out discontinuities + erode around
+    unfilled regions. Mutates ``cons``; returns 1 => full reset."""
+    gl = len(cons)
+    for dp in _find_discontinuous(pos, lens, accept):
+        if 0 <= dp < gl:
+            cons[dp] = N
+    regions = _find_region(cons)
+    flag = len(_find_discontinuous(pos, lens, accept))
+    if orig_gap < 400:
+        red = 1.0
+    elif orig_gap < 1200:
+        red = 1.5
+    else:
+        red = 2.0
+    readchar = 30
+    if len(regions) <= 1:
+        if len(regions) == 1:
+            if region_perct < 0.75 or flag > 0:
+                r0, r1 = regions[0]
+                i = r0 - 1
+                while i >= max(r0 - int(red * readchar), 0):
+                    cons[i] = N
+                    i -= 1
+                j = r1 + 1
+                while j < min(r1 + 1 + int(red * readchar), gl):
+                    cons[j] = N
+                    j += 1
+                if i < 0 and j == gl:
+                    return 1
+    else:
+        start = regions[0][0]
+        end = regions[-1][1]
+        cons[start:end] = N
+        i = start - 1
+        while i > start - 1 - int(red * readchar) and i >= 0:
+            cons[i] = N
+            i -= 1
+        j = end + 1
+        while j < end + 1 + int(red * readchar) and j < gl:
+            cons[j] = N
+            j += 1
+        if i < 0 and j == gl:
+            return 1
+    return 0
+
+
+def _detect_overlap_host(plan: GapPlan, accept, pos, gap_len) -> tuple[int, int]:
+    """Host detect_overlap_gapestimate for the finalize pass (5517).
+
+    Returns (ret0, ret1): 300 perfect; max_overlap; 0; ret1=-1 false overlap.
+    """
+    seqs = plan.bundle.p_seq
+    matches = plan.bundle.p_match
+    P = len(seqs)
+    l_max, r_min = -1 << 20, 1 << 20
+    for k in range(P):
+        if not accept[k]:
+            continue
+        p = int(pos[k])
+        ln = len(seqs[k])
+        reach = min(p + ln, gap_len) - 1
+        if matches[k] in (1, 4) or p < 0:
+            l_max = max(l_max, reach)
+        elif p < gap_len:
+            r_min = min(r_min, max(p, 0))
+    if l_max == -1 << 20:
+        l_max = -1
+    if r_min == 1 << 20:
+        r_min = gap_len
+
+    # perfect spanning read
+    gl_f, gr_f = plan.left_flank, plan.right_flank
+    for k in range(P):
+        if not accept[k]:
+            continue
+        p, s = int(pos[k]), seqs[k]
+        if p < 0 and p + len(s) > gap_len:
+            lpart = s[max(-p - SIDE_LIMIT, 0) : -p]
+            rpart = s[-p + gap_len : -p + gap_len + SIDE_LIMIT]
+            def _ok(a, b):
+                n = min(len(a), len(b))
+                if n < 8:
+                    return False
+                return (a[-n:] != b[-n:]).mean() <= 0.08 if a is gl_f else \
+                       (a[:n] != b[:n]).mean() <= 0.08
+            okl = len(lpart) >= 8 and len(gl_f) >= len(lpart) and \
+                (gl_f[-len(lpart):] != lpart).mean() <= 0.08
+            okr = len(rpart) >= 8 and len(gr_f) >= len(rpart) and \
+                (gr_f[:len(rpart)] != rpart).mean() <= 0.08
+            if okl and okr:
+                return 300, 0
+
+    if r_min > l_max:
+        return 0, 0
+    left_cross = [k for k in range(P) if accept[k] and pos[k] < 0
+                  and min(pos[k] + len(seqs[k]), gap_len) - 1 >= r_min
+                  and pos[k] + len(seqs[k]) <= gap_len]
+    right_cross = [k for k in range(P) if accept[k] and 0 < pos[k] <= l_max]
+    max_ov, false_flag = 0, 0
+    for i in left_cross[:64]:
+        for j in right_cross[:64]:
+            if i == j:
+                continue
+            p1, l1 = int(pos[i]), len(seqs[i])
+            p2 = int(pos[j])
+            dg = max(p1 + l1 - gap_len, 0)
+            ov = (p1 + l1 - 1) - p2 + 1 - dg
+            if ov < 5:
+                continue
+            cl = seqs[i][l1 - ov - dg : l1 - dg]
+            cr = seqs[j][:ov]
+            if len(cl) != len(cr) or len(cl) == 0:
+                continue
+            frac = (cl != cr).mean()
+            if frac <= 0.1:
+                max_ov = max(max_ov, ov)
+            else:
+                false_flag = -1
+    if (false_flag == 0 and max_ov >= 5) or (false_flag == -1 and max_ov >= 10):
+        return max_ov, 0
+    if false_flag == -1 or max_ov < 5:
+        return 0, -1
+    return 0, 0
+
+
+def _check_update(cnt_row, qual_row) -> int:
+    """check_update (4535-4581): ambiguous-column resolution by quality."""
+    order = np.argsort(-cnt_row[:4], kind="stable")
+    maxp, sec_p = int(order[0]), int(order[1])
+    mx, sec = cnt_row[maxp], cnt_row[sec_p]
+    diff = mx - sec
+    if diff >= PARTIAL_THRESHOLD:
+        if mx > 3 and sec > 3:
+            return maxp if qual_row[maxp] <= qual_row[sec_p] else sec_p
+        return 50
+    else:
+        if mx >= 1 and sec >= 1:
+            return maxp if qual_row[maxp] <= qual_row[sec_p] else sec_p
+        return -1
+
+
+# ---------------------------------------------------------------- main entry
+
+def _round_up(x, mults=(8, 16, 32, 64, 128, 256, 512, 1024, 2048, 3072)):
+    for m in mults:
+        if x <= m:
+            return m
+    return x
+
+
+def fill_gaps(
+    genome: Genome,
+    gaps: list[GapInfo],
+    bundles: list[GapBundle],
+    model: ErrorModel,
+    partial_mode: bool,
+    partial_len: int,
+    neg_overlap: int = 30,
+    read_len: int | None = None,
+    em_iters_unmapped: int = 48,
+    instance_batch: int = 64,
+    max_scan_lengths: int = 160,
+) -> FillResult:
+    """Fill all gaps for one iteration (one FillGaps.cpp run equivalent)."""
+    n_gaps = len(gaps)
+    out_strings: list[np.ndarray] = [None] * n_gaps
+    gaptofill = np.zeros(n_gaps, np.int64)
+    stats = {"skipped": 0, "neg_merged": 0, "filled": 0, "scan_instances": 0}
+
+    plans = plan_gaps(genome, gaps, bundles, partial_mode, partial_len,
+                      neg_overlap, max_scan_lengths)
+
+    active: list[int] = []
+    for gi, plan in enumerate(plans):
+        if plan.skip:
+            out_strings[gi] = np.full(plan.gap.length, N, np.int8)
+            stats["skipped"] += 1
+        elif plan.neg_merge > 0:
+            out_strings[gi] = np.zeros(0, np.int8)
+            gaptofill[gi] = plan.neg_merge
+            stats["neg_merged"] += 1
+        else:
+            active.append(gi)
+
+    if not active:
+        return FillResult(out_strings, gaptofill, stats)
+
+    # ---- bucket shapes ---------------------------------------------------
+    L = int(read_len or max(
+        max((len(s) for p in (plans[i] for i in active)
+             for s in (p.bundle.p_seq + p.bundle.u_seq)), default=100), 50))
+    maxG = max(max(plans[i].lengths) for i in active)
+    maxG = max(maxG, max(plans[i].gap.length for i in active))
+    if partial_mode:
+        R = 1  # unmapped reads unused in partial mode
+    else:
+        R = _round_up(max(max((plans[i].bundle.n_unmapped for i in active)), 1))
+    P = _round_up(max(max((plans[i].bundle.n_partial for i in active)), 1))
+    WL = L
+    Wp = WL + maxG
+    W = Wp + L
+    cfg = FillConfig(
+        W=W, Wp=Wp, L=L, WL=WL, max_gap_len=maxG, R=R, P=P,
+        partial_mode=partial_mode, unmapped_mode=not partial_mode,
+        em_iters=3 if partial_mode else em_iters_unmapped,
+        gap_prob_cutoff=float(model.gap_prob_cutoff),
+        insert_tmin=int(model.insert_threshold_min),
+        insert_tmax=int(model.insert_threshold_max),
+    )
+    marr = _model_arrays(model, L)
+
+    # ---- device scan over (gap, length) instances ------------------------
+    # (sorted so large-gap instances form contiguous chunks: the finalize-mode
+    #  EM extras are a static compile flag, fillGap 6208-6211)
+    active = sorted(active, key=lambda gi: plans[gi].large_gap)
+    items = [(plans[gi], le) for gi in active for le in plans[gi].lengths]
+    owner = [gi for gi in active for _ in plans[gi].lengths]
+    stats["scan_instances"] = len(items)
+    results = {k: [] for k in ("likelihood", "valid", "consensus", "accept",
+                               "pos")}
+    extras = {k: [] for k in ("discont", "ucoverf", "umaxleftf", "umaxrightf",
+                              "region_perct", "saved_l", "saved_r")}
+    for i0 in range(0, len(items), instance_batch):
+        chunk = items[i0 : i0 + instance_batch]
+        insts = _build_instances(genome, chunk, cfg)
+        out = fill_batch(cfg, insts, marr,
+                         finalize_flag=(not partial_mode) and any(
+                             p.large_gap for p, _ in chunk))
+        for k in results:
+            if k in out:
+                results[k].append(np.asarray(out[k]))
+        for k in extras:
+            if k in out:
+                extras[k].append(np.asarray(out[k]))
+    res = {k: np.concatenate(v) for k, v in results.items() if v}
+    ext = {k: np.concatenate(v) for k, v in extras.items() if v}
+
+    # ---- per-gap decision + finalize ------------------------------------
+    fin_items = []
+    fin_best = []
+    fin_saved = []
+    fin_saved_lr = []
+    fin_meta = []
+    owner_arr = np.asarray(owner)
+    for gi in active:
+        plan = plans[gi]
+        sel = np.flatnonzero(owner_arr == gi)
+        lengths = plan.lengths
+        lik = res["likelihood"][sel]
+        valid = res["valid"][sel]
+        gext = None
+        if not partial_mode:
+            edge = (ext["ucoverf"][sel] | ext["umaxleftf"][sel]
+                    | ext["umaxrightf"][sel])
+            gext = {"edge": edge, "discont": ext["discont"][sel]}
+        best_j, n_eval, varied = _replay_scan(
+            lengths, lik, valid, plan.gap.length, partial_mode, gext)
+
+        orig_j = lengths.index(plan.gap.length)
+        if not partial_mode:
+            # small-gap read-count probe (checkGapReads 6121-6153)
+            if (plan.gap.length <= GAPTHRESH and not plan.large_gap
+                    and valid.max(initial=0) <= 3):
+                best_j = orig_j  # less reads: fill at original length
+            elif not varied and not plan.side_flag:
+                best_j = orig_j  # check_change==0 -> original (6533)
+        else:
+            if valid[best_j] == 0:
+                best_j = orig_j
+
+        best_len = lengths[best_j]
+        bs = res["consensus"][sel[best_j]][:cfg.max_gap_len].copy()
+        fin_items.append((plan, best_len))
+        fin_best.append(bs)
+        fin_saved.append(res["accept"][sel[best_j]])
+        if partial_mode:
+            fin_saved_lr.append((ext["saved_l"][sel[best_j]],
+                                 ext["saved_r"][sel[best_j]]))
+        fin_meta.append((gi, best_j, orig_j, sel,
+                         ext.get("region_perct", np.zeros(1))[sel[best_j]]
+                         if not partial_mode else 0.0))
+
+    for i0 in range(0, len(fin_items), instance_batch):
+        sl = slice(i0, i0 + instance_batch)
+        chunk = fin_items[sl]
+        insts = _build_instances(genome, chunk, cfg)
+        best = jnp.asarray(np.stack(fin_best[sl]))
+        if partial_mode:
+            svl = jnp.asarray(np.array([a for a, _ in fin_saved_lr[sl]]))
+            svr = jnp.asarray(np.array([b for _, b in fin_saved_lr[sl]]))
+            sv = jnp.zeros((len(chunk), cfg.P), jnp.int8)
+            fout = finalize_batch(cfg, insts, marr, best, sv, svl, svr)
+        else:
+            sv = jnp.asarray(np.stack(fin_saved[sl]).astype(np.int8))
+            fout = finalize_batch(cfg, insts, marr, best, sv)
+        fout = {k: np.asarray(v) for k, v in fout.items()}
+
+        for ci, (plan, best_len) in enumerate(chunk):
+            gi, best_j, orig_j, sel, rpm = fin_meta[i0 + ci]
+            if partial_mode:
+                s = _finish_partial(plan, best_len, cfg, fout, ci, res, sel,
+                                    orig_j)
+            else:
+                s = _finish_unmapped(plan, best_len, cfg, fout, ci, res, sel,
+                                     orig_j, float(rpm))
+            out_strings[gi] = s
+            stats["filled"] += 1
+
+    return FillResult(out_strings, gaptofill, stats)
+
+
+def _finish_unmapped(plan, best_len, cfg, fout, ci, res, sel, orig_j,
+                     region_perct):
+    """finalize guard battery, unmapped (5415-5507 + 5619-5641)."""
+    g = plan.gap
+    counts = fout["counts"][ci][cfg.WL : cfg.WL + cfg.max_gap_len].copy()
+    accept = fout["accept"][ci]
+    pos = fout["pos"][ci]
+    lens = np.array([len(s) for s in plan.bundle.u_seq]
+                    + [0] * (accept.shape[0] - plan.bundle.n_unmapped))
+    used = int(fout["used"][ci])
+    lr = fout["left_right_check"][ci]
+    umax_l, umax_r = int(fout["umax_left"][ci]), int(fout["umax_right"][ci])
+    lsz, rfg = bool(fout["left_start_zero"][ci]), bool(fout["right_fin_glen"][ci])
+    thresh = 4
+    nflag = [False, False]
+    lflag = [False, False]
+    gap_len = best_len
+
+    if ((0 < umax_l < 2 * thresh) or (0 < umax_r < 2 * thresh)) and \
+            region_perct > 0.75:
+        used = 0
+    if (0 < umax_l < thresh) or (0 < umax_r < thresh):
+        cons = _host_consensus(counts, gap_len)
+        rc = len(_find_region(cons))
+        if rc >= 1:
+            if 0 < umax_l < thresh:
+                lflag[0] = True
+            if 0 < umax_r < thresh:
+                lflag[1] = True
+        else:
+            used = 0
+            umax_l = umax_r = -1
+    if not lr[0] and not lr[1] and used != 0:
+        used = 0
+        umax_l = umax_r = -1
+    if (not lr[0] and lsz) or (not lr[1] and rfg):
+        cons = _host_consensus(counts, gap_len)
+        if len(_find_region(cons)) >= 1:
+            nflag[0] = not lr[0]
+            nflag[1] = not lr[1]
+
+    recompute = False
+    if used == 0 or not (lr[0] and lr[1]):
+        gap_len = g.length
+        counts = np.zeros((cfg.max_gap_len, 5), np.float32)
+        # recompute2 from original-length placements (5495-5506)
+        orig_accept = res["accept"][sel[orig_j]]
+        orig_pos = res["pos"][sel[orig_j]]
+        if ((not lr[0] and lr[1] and umax_r >= thresh)
+                or (lr[0] and not lr[1] and umax_l >= thresh)):
+            recompute = True
+            for k in range(plan.bundle.n_unmapped):
+                if orig_accept[k]:
+                    p = int(orig_pos[k])
+                    s = plan.bundle.u_seq[k]
+                    for j in range(len(s)):
+                        if 0 <= p + j < gap_len and s[j] < 4:
+                            counts[p + j, s[j]] += 1
+
+    cons = _host_consensus(counts, gap_len)
+    if lr[0] or lr[1] or used != 0:
+        if nflag[0] or lflag[0]:
+            cons[0] = N
+        if (nflag[1] or lflag[1]) and gap_len > 0:
+            cons[gap_len - 1] = N
+        src_accept = res["accept"][sel[orig_j]] if recompute else accept
+        src_pos = res["pos"][sel[orig_j]] if recompute else pos
+        clear = _recheck_sequence(cons, src_pos[: len(lens)], lens,
+                                  src_accept[: len(lens)], g.length,
+                                  region_perct)
+        if clear:
+            return np.full(g.length, N, np.int8)
+    return cons[:gap_len]
+
+
+def _finish_partial(plan, best_len, cfg, fout, ci, res, sel, orig_j):
+    """finalize guard battery, partial (5512-5609)."""
+    g = plan.gap
+    counts = fout["counts"][ci][cfg.WL : cfg.WL + cfg.max_gap_len].copy()
+    qual = fout["qual"][ci][cfg.WL : cfg.WL + cfg.max_gap_len]
+    accept = fout["accept"][ci]
+    pos = fout["pos"][ci]
+    used = int(fout["used"][ci])
+    gap_len = best_len
+
+    ret0, ret1 = _detect_overlap_host(plan, accept, pos, gap_len)
+    dg = g.length - gap_len
+    if dg > 0 and ret0 > 0:
+        case = 1
+    elif dg > 0 and ret0 == 0:
+        case = 2
+    elif dg < 0 and ret0 > 0:
+        case = 3
+    elif dg < 0 and ret0 == 0:
+        case = 4
+    else:
+        case = 5
+
+    u_flag = 1
+    if used < PARTIAL_THRESHOLD or case in (2, 4):
+        gap_len = g.length
+        counts = np.zeros((cfg.max_gap_len, 5), np.float32)
+        if used < PARTIAL_THRESHOLD or case == 4:
+            u_flag = 0
+        else:  # case 2: recompute1 from original-length placements (5566-5582)
+            orig_accept = res["accept"][sel[orig_j]]
+            orig_pos = res["pos"][sel[orig_j]]
+            for k in range(plan.bundle.n_partial):
+                if orig_accept[k]:
+                    p = int(orig_pos[k])
+                    s = plan.bundle.p_seq[k]
+                    for j in range(len(s)):
+                        if 0 <= p + j < gap_len and s[j] < 4:
+                            counts[p + j, s[j]] += 1
+            r0b, r1b = _detect_overlap_host(plan, orig_accept, orig_pos, gap_len)
+            if r1b == -1:
+                counts[:] = 0
+                u_flag = 0
+            ret0, ret1 = r0b, r1b
+
+    if u_flag == 1 and ret0 == 0 and ret1 == 0:
+        # ambiguous-column resolution (5585-5609)
+        for j in range(gap_len):
+            row = counts[j]
+            if (row[:4] > 0).any():
+                uf = _check_update(row, qual[j])
+                if uf != -1:
+                    if uf != 50:
+                        counts[j, uf] += 10
+                else:
+                    counts[j, :4] = 0
+
+    cons = _host_consensus(counts, gap_len)
+    return cons[:gap_len]

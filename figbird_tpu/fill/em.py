@@ -1,0 +1,775 @@
+"""Batched GapFiller EM — the device core.
+
+TPU-native reformulation of Figbird.cpp's per-gap EM (class GapFiller,
+1563-6684).  The reference's hot loops are scalar triple loops
+(read x candidate-position x read-char, e.g. 3128-3188, 3550-3677); here each
+becomes one MXU matmul:
+
+    score[r, p] = sum_j log F[p+j, j, read[r, j]]
+                = onehot(reads) (R, L*5)  @  K^T (L*5, P)
+
+where K[p, j, c] = log F[p+j, j, c] is a windowed view of the per-position
+factor tensor.  Soft-count accumulation is the transposed product
+(P, R) @ (R, L*5) followed by a diagonal fold.  Everything is batched over a
+*gap-length-candidate instance* axis with ``vmap`` — the reference's
+sequential gap-length scan (fillGap 6298-6482) becomes a parallel axis, and
+its early-exit heuristics are replayed exactly on the host afterwards from
+the full likelihood vector.
+
+Faithful reference quirks preserved:
+ * partial soft weights are ``pow(10, ln p)`` = p^ln10 (Figbird.cpp:3169+3179)
+   and unmapped soft weights ``exp(0.5*log10 p)`` = p^(0.5/ln10) (3601);
+ * the hard re-scoring pass fixes strand 0 for partial reads (3357);
+ * counts only accumulate inside the gap zone (3183);
+ * probsGap spreads the N mass over ACGT (computeProbsGap 2105);
+ * acceptance is -log10(maxProb) < gapProbCutOff (3474, 3852).
+
+Window convention: w in [0, W); gap zone = [WL, WL + gap_len); contig
+coordinate of w is ``gap_start - WL + w``.  WL == bucket read length, which is
+exact (reads can reach at most L-1 outside the gap; SURVEY §2a).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LN10 = float(np.log(10.0))
+NEG = -1e30
+
+
+@dataclass(frozen=True)
+class FillConfig:
+    """Static shape/mode config for one bucket (hashable for jit)."""
+
+    W: int          # full window length  (WL + max_gap_len + L)
+    Wp: int         # candidate-position count (WL + max_gap_len)
+    L: int          # bucket read length
+    WL: int         # gap-zone start (== L)
+    max_gap_len: int
+    R: int          # padded unmapped read count
+    P: int          # padded partial read count
+    partial_mode: bool
+    unmapped_mode: bool
+    clip_thresh: int = 2
+    em_iters: int = 3          # partial: 3; unmapped: cap (ref num_itr=200)
+    comp_stable: int = 5       # unmapped consensus-stability break
+    coverage_threshold1: int = 0
+    coverage_threshold2: int = 1
+    gap_prob_cutoff: float = 5.0
+    insert_tmin: int = 0
+    insert_tmax: int = 1 << 30
+
+
+ONEHOT4 = np.eye(5, 4, dtype=np.float32)
+ONEHOT4[4] = 1.0  # N spreads over ACGT (update_partial_prob 1986-1990)
+ONEHOT5 = np.eye(5, dtype=np.float32)
+
+
+def _onehot5(reads: jnp.ndarray, jvalid: jnp.ndarray) -> jnp.ndarray:
+    """(..., L) int8 -> (..., L, 5) f32 one-hot, zeroed outside the read."""
+    oh = jnp.asarray(ONEHOT5)[reads]
+    return oh * jvalid[..., None].astype(jnp.float32)
+
+
+def compute_probs_gap(counts: jnp.ndarray) -> jnp.ndarray:
+    """computeProbsGap (Figbird.cpp:2090-2116): counts (W,5) -> probs (W,5)."""
+    total = counts.sum(axis=-1, keepdims=True)
+    ncol = counts[..., 4:5]
+    probs4 = jnp.where(total > 0, (counts[..., :4] + ncol / 4) / total, 0.25)
+    return jnp.concatenate([probs4, jnp.zeros_like(ncol)], axis=-1)
+
+
+def compute_error_probs_gap(probs: jnp.ndarray, et: jnp.ndarray) -> jnp.ndarray:
+    """computeErrorProbsGap (2118-2137): B[w,j] = sum_{k<4,k!=j} A[w,k]*ET[k,j]."""
+    b = probs[..., :4] @ et[:4, :]  # (W,5)
+    diag = jnp.concatenate([jnp.diag(et)[:4], jnp.zeros(1, et.dtype)])
+    corr = probs * diag[None, :]  # subtract k==j term for j<4 (A[:,4]==0)
+    return b - corr
+
+
+def _windowed(K: jnp.ndarray, Wp: int) -> jnp.ndarray:
+    """K (W, L, 5) -> Kw (Wp, L, 5) with Kw[p,j,:] = K[p+j, j, :]."""
+    W, L, _ = K.shape
+    p = jnp.arange(Wp)[:, None]
+    j = jnp.arange(L)[None, :]
+    idx = jnp.minimum(p + j, W - 1)
+    return K[idx, j, :]
+
+
+def _soft_K(probs, eprobs, e_pos, W):
+    """log factor tensor for the soft pass: F[w,j,c].
+
+    c<4: A[w,c]*(1-e_j) + e_j*B[w,c];  c==4 (read N): e_j*B[w,4]
+    (Figbird.cpp:3160-3165).
+    """
+    e = e_pos[None, :, None]  # (1,L,1)
+    A = probs[:, None, :]     # (W,1,5)
+    B = eprobs[:, None, :]
+    F = A * (1.0 - e) + e * B
+    Fn = e * B[..., 4:5]  # N column
+    F = jnp.concatenate([F[..., :4], Fn], axis=-1)
+    return jnp.log(jnp.maximum(F, 1e-300))
+
+
+def _hard_K(gap_string, e_match, e_mis, ln_et):
+    """log factor tensor vs a fixed consensus: match a_j, else b_j+lnET[g,c].
+
+    (Figbird.cpp:3398-3406 / 5057-5064.)
+    """
+    g = gap_string  # (W,) int8 codes 0..5 (5 = outside contig)
+    gs = jnp.minimum(g, 4)
+    lnrow = ln_et[gs]  # (W,5)
+    is_match = jnp.asarray(ONEHOT5)[gs]  # (W,5) indicator c==g
+    a = e_match[None, :, None]  # (1,L,1) ln(1-e-in-del)
+    b = e_mis[None, :, None]    # ln(e)
+    K = jnp.where(is_match[:, None, :] > 0, a, b + lnrow[:, None, :])
+    # reference skips the factor entirely when fromCharCode invalid; mimic by 0
+    K = jnp.where((g >= 5)[:, None, None], 0.0, K)
+    return K
+
+
+def _fold_counts(cw: jnp.ndarray, W: int) -> jnp.ndarray:
+    """cw (Wp, L, 5) weighted window counts -> counts (W, 5): counts[p+j] += cw[p,j].
+
+    Diagonal fold via an L-step shift-accumulate (cheap vs the matmuls).
+    """
+    Wp, L, C = cw.shape
+    pad = jnp.zeros((W - Wp + L, L, C), cw.dtype)
+    cwp = jnp.concatenate([cw, pad], axis=0)  # (W+L, L, 5)
+
+    def body(j, acc):
+        shifted = jnp.roll(cwp[:, j, :], j, axis=0)[:W]
+        # positions w < j cannot receive p=w-j<0 contributions
+        mask = (jnp.arange(W) >= j)[:, None]
+        return acc + jnp.where(mask, shifted, 0.0)
+
+    return jax.lax.fori_loop(0, L, body, jnp.zeros((W, C), cw.dtype))
+
+
+def consensus_from_counts(counts, gap_zone, check, cov_thresh):
+    """computeSequence (4417-4508) restricted to the gap zone.
+
+    Returns (codes (W,) int8 with 4=N outside support, coverage (W,) f32).
+    check=1 applies the coverage_threshold1 N-out rule.
+    """
+    mx = counts.max(axis=-1)
+    arg = jnp.argmax(counts, axis=-1).astype(jnp.int8)
+    cons = jnp.where(mx > 0, arg, 4)
+    if check:
+        cons = jnp.where(mx <= cov_thresh, 4, cons)
+    return jnp.where(gap_zone, cons, 4), mx
+
+
+def partial_stack_probs(pr, p_clip, p_match, p_len, p_valid, max_gap_len, gap_len):
+    """update_partial_prob (1913-2088): stack partial reads at clip points.
+
+    Returns (counts4 (maxG,4) with +1 pseudo, left_max, right_min).
+    """
+    P, L = pr.shape
+    t = jnp.arange(max_gap_len)[None, :]  # gap position
+    oh4 = jnp.asarray(ONEHOT4)
+
+    left = (p_match == 1) | (p_match == 4)
+    # match 1/4: read[clip+1+t] -> gap pos t, t < stop1 = min(len-clip-1, gap_len)
+    stop1 = jnp.minimum(p_len - p_clip - 1, gap_len)
+    idx_l = jnp.clip(p_clip[:, None] + 1 + t, 0, L - 1)
+    ch_l = jnp.take_along_axis(pr, idx_l, axis=1)
+    m_l = (t < stop1[:, None]) & left[:, None] & p_valid[:, None]
+    cnt_l = jnp.einsum("pt,ptc->tc", m_l.astype(jnp.float32), oh4[ch_l])
+
+    # match 2/3: read[clip-1-u] -> gap pos gap_len-1-u, u < chars = min(clip, gap_len)
+    right = (p_match == 2) | (p_match == 3)
+    u = t  # reuse iota
+    chars = jnp.minimum(p_clip, gap_len)
+    idx_r = jnp.clip(p_clip[:, None] - 1 - u, 0, L - 1)
+    ch_r = jnp.take_along_axis(pr, idx_r, axis=1)
+    m_r = (u < chars[:, None]) & right[:, None] & p_valid[:, None]
+    cnt_r_rev = jnp.einsum("pt,ptc->tc", m_r.astype(jnp.float32), oh4[ch_r])
+    # reverse into gap coordinates: u -> gap_len-1-u
+    gpos = gap_len - 1 - jnp.arange(max_gap_len)
+    cnt_r = jnp.zeros_like(cnt_r_rev).at[jnp.clip(gpos, 0, max_gap_len - 1)].add(
+        jnp.where((gpos >= 0)[:, None], cnt_r_rev, 0.0)
+    )
+
+    counts4 = 1.0 + cnt_l + cnt_r
+    stop1_v = jnp.where(left & p_valid, stop1, 0)
+    left_max = jnp.max(jnp.where(left & p_valid, stop1_v - 1, -(1 << 20)))
+    right_min = jnp.min(
+        jnp.where(right & p_valid, gap_len - chars, 1 << 20)
+    )
+    return counts4, left_max, right_min
+
+
+# ===========================================================================
+# placement passes
+# ===========================================================================
+
+def _legal_partial(cfg: FillConfig, inst, model):
+    """Candidate legality + insert mask for partial reads (3124-3134, 3195-3203).
+
+    Returns legal (P, Wp) bool.  Window-relative start p maps to contig pos
+    cpos = gap_start - WL + p.
+    """
+    p = jnp.arange(cfg.Wp)[None, :]
+    cpos = inst["gap_start"] - cfg.WL + p  # (1,Wp)
+    plen = inst["p_len"][:, None]
+    left = ((inst["p_match"] == 1) | (inst["p_match"] == 4))[:, None]
+    gs = inst["gap_start"]
+    ge = gs + inst["gap_len"]
+    rng_left = (cpos >= gs - plen + 1) & (cpos < gs)
+    rng_right = (cpos >= ge - plen + 1) & (cpos < ge)
+    rng = jnp.where(left, rng_left, rng_right)
+
+    refp = inst["p_refpos"][:, None]
+    refp_r = refp + inst["gap_len"] - inst["orig_gap"]  # right side += gapoffset
+    t_ins = jnp.where(left, cpos - refp + plen, refp_r - cpos + plen)
+    ins_ok = (refp == -1) | ((t_ins >= cfg.insert_tmin) & (t_ins <= cfg.insert_tmax))
+    return rng & ins_ok & inst["p_valid"][:, None]
+
+
+def _legal_unmapped(cfg: FillConfig, inst, model):
+    """Candidate legality + insert size for unmapped reads (3550-3557, 3620-3627).
+
+    Returns (legal (R,Wp), t_ins (R,Wp) clipped for prior lookup).
+    """
+    p = jnp.arange(cfg.Wp)[None, :]
+    cpos = inst["gap_start"] - cfg.WL + p
+    rlen = inst["u_len"][:, None]
+    gs = inst["gap_start"]
+    ge = gs + inst["gap_len"]
+    rng = (cpos >= gs - rlen + 1) & (cpos < ge)
+    pos1 = inst["u_pos"][:, None]
+    left = pos1 < gs
+    pos1_r = pos1 + inst["gap_len"] - inst["orig_gap"]
+    t_ins = jnp.where(left, cpos - pos1 + rlen, pos1_r - cpos + rlen)
+    ins_ok = (t_ins >= cfg.insert_tmin) & (t_ins <= cfg.insert_tmax)
+    tc = jnp.clip(t_ins, 0, model["ln_ins"].shape[0] - 1)
+    return rng & ins_ok & inst["u_valid"][:, None], tc
+
+
+def _score(oh_flat, K, Wp):
+    """(N, L*5) @ windowed-K -> (N, Wp) on the MXU."""
+    Kw = _windowed(K, Wp).reshape(Wp, -1)
+    return jax.lax.dot_general(
+        oh_flat, Kw, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _accumulate(weights, oh_count_flat, cfg):
+    """Soft/hard count accumulation: (Wp,N)@(N,L5) then diagonal fold -> (W,5)."""
+    cw = jax.lax.dot_general(
+        weights.T, oh_count_flat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(cfg.Wp, cfg.L, 5)
+    return _fold_counts(cw, cfg.W)
+
+
+def _detect_overlap_partial(cfg, inst, accept, pos_gap, bonus_cap=24):
+    """detect_overlap_gapestimate (2513-2779), vectorised with capped pair sets.
+
+    Returns (bonus_value, saved_left, saved_right) where bonus follows the
+    reference decision: +300 perfect spanning read; +30*max_overlap verified
+    left x right read overlap; -100 false overlap.  Pair candidates are capped
+    at ``bonus_cap`` per side (the reference enumerates all pairs; the maximum
+    overlap is realised by extreme reads, which the cap retains).
+    """
+    pr, p_len, p_match, p_valid = (
+        inst["pr"], inst["p_len"], inst["p_match"], inst["p_valid"])
+    gl = inst["gap_len"]
+    P, L = pr.shape
+    acc = accept & p_valid
+
+    reach = jnp.minimum(pos_gap + p_len, gl) - 1
+    leftish = (p_match == 1) | (p_match == 4) | (pos_gap < 0)
+    l_max = jnp.max(jnp.where(acc & leftish, reach, -(1 << 20)))
+    start = jnp.maximum(pos_gap, 0)
+    r_min = jnp.min(jnp.where(acc & ~leftish, start, 1 << 20))
+    l_max = jnp.where(l_max == -(1 << 20), -1, l_max)
+    r_min = jnp.where(r_min == 1 << 20, gl, r_min)
+
+    # ---- perfect spanning read (2604-2624): flank agreement <= 8% ------------
+    spans = acc & (pos_gap < 0) & (pos_gap + p_len > gl)
+    j = jnp.arange(L)[None, :]
+    # left flank part: read char j sits at gap coord pos_gap+j; flank coords < 0
+    gcoord = pos_gap[:, None] + j
+    tmpl = inst["tmpl"]
+    wcoord = jnp.clip(gcoord + cfg.WL, 0, cfg.W - 1)
+    flank_char = tmpl[wcoord]
+    on_left = (gcoord < 0) & (gcoord >= -30) & (j < p_len[:, None])
+    on_right = (gcoord >= gl) & (gcoord < gl + 30) & (j < p_len[:, None])
+    mis_l = jnp.sum(on_left & (pr != flank_char), axis=1)
+    n_l = jnp.sum(on_left, axis=1)
+    mis_r = jnp.sum(on_right & (pr != flank_char), axis=1)
+    n_r = jnp.sum(on_right, axis=1)
+    ok_l = (n_l >= 8) & (mis_l <= 0.08 * n_l)
+    ok_r = (n_r >= 8) & (mis_r <= 0.08 * n_r)
+    perfect = jnp.any(spans & ok_l & ok_r)
+
+    # ---- left x right overlap verification (2647-2756) ----------------------
+    lc = acc & (pos_gap < 0) & (reach >= r_min) & (pos_gap + p_len <= gl)
+    rc = acc & (pos_gap > 0) & (pos_gap <= l_max)
+    # cap: keep largest-reach left reads & smallest-start right reads
+    lkey = jnp.where(lc, reach, -(1 << 20))
+    rkey = jnp.where(rc, -start, -(1 << 20))
+    li = jnp.argsort(-lkey)[:bonus_cap]
+    ri = jnp.argsort(-rkey)[:bonus_cap]
+    lval = lc[li]
+    rval = rc[ri]
+    p1 = pos_gap[li][:, None]
+    l1 = p_len[li][:, None]
+    p2 = pos_gap[ri][None, :]
+    diff_gap = jnp.maximum(p1 + l1 - gl, 0)
+    ov = (p1 + l1 - 1) - p2 + 1 - diff_gap  # (cap,cap)
+    pair_ok = lval[:, None] & rval[None, :] & (li[:, None] != ri[None, :]) & (ov >= 5)
+
+    # compare read1 suffix vs read2 prefix over the overlap region (2687-2701)
+    cap = li.shape[0]
+    t = jnp.arange(L)[None, None, :]
+    len1 = p_len[li][:, None, None]
+    idx1 = len1 - ov[:, :, None] - diff_gap[:, :, None] + t
+    idx1c = jnp.clip(idx1, 0, L - 1)
+    r1 = pr[li]  # (cap, L)
+    r2 = pr[ri]
+    c1 = r1[jnp.arange(cap)[:, None, None], idx1c]  # (cap,cap,L)
+    c2 = r2[None, :, :]  # broadcasts over left index
+    inwin = t < ov[:, :, None]
+    mism = jnp.sum(inwin & (c1 != c2), axis=2)
+    good = pair_ok & (mism <= 0.1 * jnp.maximum(ov, 1))
+    bad = pair_ok & (mism > 0.1 * jnp.maximum(ov, 1))
+    max_ov = jnp.max(jnp.where(good, ov, 0))
+    any_false = jnp.any(bad)
+
+    bonus = jnp.where(
+        perfect | ((inst["perfect_gap"] == 1) & (inst["orig_gap"] <= 20)
+                   & (gl == inst["perfect_gaplen"])),
+        300.0,
+        jnp.where(
+            (r_min <= l_max)
+            & (((~any_false) & (max_ov >= 5)) | (any_false & (max_ov >= 10))),
+            30.0 * max_ov,
+            jnp.where((r_min <= l_max) & (any_false | (max_ov < 5)), -100.0, 0.0),
+        ),
+    )
+    # saved pair (kept through finalize acceptance, 5345)
+    gi, gj = jnp.unravel_index(jnp.argmax(jnp.where(good, ov, -1)), good.shape)
+    has = jnp.any(good)
+    saved_l = jnp.where(has, li[gi], -1)
+    saved_r = jnp.where(has, ri[gj], -1)
+    return bonus, saved_l, saved_r
+
+
+def _find_overlap_unmapped(cfg, inst, accept, pos_gap, lens):
+    """findOverlapUnmapped (2945-3019): chain discontinuity penalties.
+
+    Returns (value, new_accept, discont_flag).
+    """
+    R = accept.shape[0]
+    key = jnp.where(accept, pos_gap, -200)
+    order = jnp.argsort(key)
+    sp = key[order]
+    sl = lens[order]
+    sidx = order
+    real = sp != -200
+    nxt = jnp.roll(sp, -1)
+    diff = sp + sl - nxt
+    pairable = real & (jnp.arange(R) < R - 1)
+    discont = pairable & (diff >= 0) & (diff < 4)  # match_count_discont
+    gap_pen = pairable & (diff < 0)
+    value = jnp.sum(jnp.where(discont, -250.0, 0.0)) + jnp.sum(
+        jnp.where(gap_pen, -200.0, 0.0))
+    # unmark both reads of gap-separated pairs
+    unmark = jnp.zeros(R, bool)
+    unmark = unmark.at[sidx].max(gap_pen)
+    unmark = unmark.at[jnp.roll(sidx, -1)].max(gap_pen)
+    new_accept = accept & ~unmark
+    # edge-crossing advantages (+50): computed on the pre-unmark set
+    gl = inst["gap_len"]
+    lr1 = accept & (pos_gap < 0) & (-pos_gap >= 3) & (pos_gap + lens > 0)
+    lr2 = accept & (pos_gap < gl) & (pos_gap + lens - gl >= 3)
+    value = value + 50.0 * (jnp.sum(lr1) + jnp.sum(lr2))
+    return value, new_accept, jnp.any(discont)
+
+
+# ===========================================================================
+# per-instance EM (vmapped over the instance axis by fill_batch)
+# ===========================================================================
+
+def _counts_flank(inst, cfg):
+    """initialize (2298-2383): flank one-hots outside the gap zone."""
+    oh = jnp.asarray(ONEHOT5)
+    tmpl = inst["tmpl"]
+    base = jnp.where((tmpl >= 0) & (tmpl <= 4), jnp.minimum(tmpl, 4), 4)
+    c = oh[base]
+    c = jnp.where((tmpl >= 5)[:, None], 0.0, c)  # outside contig: no counts
+    return c
+
+
+def _gap_zone(inst, cfg):
+    w = jnp.arange(cfg.W)
+    return (w >= cfg.WL) & (w < cfg.WL + inst["gap_len"])
+
+
+def _place_partial(cfg, inst, model, probs, eprobs, track_orig):
+    P, L = inst["pr"].shape
+    j = jnp.arange(L)[None, :]
+    plen = inst["p_len"][:, None]
+    left = ((inst["p_match"] == 1) | (inst["p_match"] == 4))[:, None]
+    jv_count = j < plen
+    jv_score = jv_count & jnp.where(left, j >= cfg.clip_thresh,
+                                    j < plen - cfg.clip_thresh)
+    oh_score = _onehot5(inst["pr"], jv_score).reshape(P, L * 5)
+    oh_count = _onehot5(inst["pr"], jv_count).reshape(P, L * 5)
+    legal = _legal_partial(cfg, inst, model)
+    gap_zone = _gap_zone(inst, cfg)
+
+    K = _soft_K(probs, eprobs, model["e_fwd"], cfg.W)
+    lnP = _score(oh_score, K, cfg.Wp)
+    lnP = jnp.where(legal, lnP, NEG)
+    w_soft = jnp.where(legal, jnp.exp(jnp.maximum(LN10 * lnP, -700.0)), 0.0)
+    soft = _accumulate(w_soft, oh_count, cfg)
+    counts = jnp.where(gap_zone[:, None], soft, _counts_flank(inst, cfg))
+
+    mx = jnp.max(lnP, axis=1)
+    has = mx > NEG / 2
+    ml_soft = jnp.sum(jnp.where(has & inst["p_valid"], mx, 0.0))
+
+    cons0, _ = consensus_from_counts(counts, gap_zone, 0, 0)
+    gap_string = jnp.where(gap_zone, cons0, inst["tmpl"])
+    Kh = _hard_K(gap_string, model["a_fwd"], model["b_fwd"], model["ln_et"])
+    sh = jnp.where(legal, _score(oh_score, Kh, cfg.Wp), NEG)
+    mh = jnp.max(sh, axis=1)
+    pos_h = jnp.argmax(sh, axis=1).astype(jnp.int32) - cfg.WL
+    accept = (mh > NEG / 2) & (-mh / LN10 < cfg.gap_prob_cutoff) & inst["p_valid"]
+    valid = jnp.sum(accept)
+
+    bonus, saved_l, saved_r = _detect_overlap_partial(cfg, inst, accept, pos_h)
+    likelihood = ml_soft + bonus
+    return dict(counts=counts, likelihood=likelihood, accept=accept,
+                pos=pos_h, valid=valid, saved_l=saved_l, saved_r=saved_r)
+
+
+def em_partial_instance(cfg: FillConfig, inst, model):
+    """3-iteration partial EM (fillGap 6323-6344 partial branch)."""
+    gap_zone = _gap_zone(inst, cfg)
+    counts0 = _counts_flank(inst, cfg)
+    ncol = jnp.where(gap_zone, 1.0, 0.0)
+    counts0 = counts0.at[:, 4].add(ncol)
+    probs = compute_probs_gap(counts0)
+    # partial-stack initialisation (update_partial_prob via computeProbsGap(1))
+    st4, left_max, right_min = partial_stack_probs(
+        inst["pr"], inst["p_clip"], inst["p_match"], inst["p_len"],
+        inst["p_valid"], cfg.max_gap_len, inst["gap_len"])
+    tot = st4.sum(axis=1, keepdims=True)
+    stp = jnp.concatenate([st4 / tot, jnp.zeros_like(tot)], axis=1)  # (maxG,5)
+    stp_w = jnp.zeros((cfg.W, 5)).at[cfg.WL : cfg.WL + cfg.max_gap_len].set(stp)
+    t_in_gap = gap_zone
+    probs = jnp.where(t_in_gap[:, None], stp_w, probs)
+    eprobs = compute_error_probs_gap(probs, model["et"])
+
+    out = None
+    for _ in range(3):
+        out = _place_partial(cfg, inst, model, probs, eprobs, False)
+        probs = compute_probs_gap(out["counts"])
+        eprobs = compute_error_probs_gap(probs, model["et"])
+
+    cons, _ = consensus_from_counts(out["counts"], gap_zone, 0, 0)
+    gap_cons = jax.lax.dynamic_slice(cons, (cfg.WL,), (cfg.max_gap_len,))
+    return dict(
+        likelihood=out["likelihood"], consensus=gap_cons, valid=out["valid"],
+        accept=out["accept"], pos=out["pos"], saved_l=out["saved_l"],
+        saved_r=out["saved_r"], counts=out["counts"],
+        left_max=left_max, right_min=right_min,
+    )
+
+
+def _place_unmapped(cfg, inst, model, probs, eprobs, finalize_flag: bool):
+    R, L = inst["ur"].shape
+    j = jnp.arange(L)[None, :]
+    jv = j < inst["u_len"][:, None]
+    oh = _onehot5(inst["ur"], jv).reshape(R, L * 5)
+    legal, t_ins = _legal_unmapped(cfg, inst, model)
+    gap_zone = _gap_zone(inst, cfg)
+    prior = model["ln_ins"][t_ins]  # (R,Wp) natural log of smoothed pmf
+
+    # soft pass: two strand groups for the cycle-indexed error rate
+    K_f = _soft_K(probs, eprobs, model["e_fwd"], cfg.W)
+    K_r = _soft_K(probs, eprobs, model["e_rev"], cfg.W)
+    ln_f = _score(oh, K_f, cfg.Wp)
+    ln_r = _score(oh, K_r, cfg.Wp)
+    rev = (inst["u_rev"] == 1)[:, None]
+    lnP = jnp.where(rev, ln_r, ln_f) + prior
+    lnP = jnp.where(legal, lnP, NEG)
+    w_soft = jnp.where(legal, jnp.exp(jnp.maximum(0.5 * lnP / LN10, -700.0)), 0.0)
+    soft = _accumulate(w_soft, oh, cfg)
+    counts = jnp.where(gap_zone[:, None], soft, _counts_flank(inst, cfg))
+
+    mx10 = jnp.max(lnP, axis=1) / LN10
+
+    # hard pass vs current consensus
+    cons0, _ = consensus_from_counts(counts, gap_zone, 0, 0)
+    gap_string = jnp.where(gap_zone, cons0, inst["tmpl"])
+    Kh_f = _hard_K(gap_string, model["a_fwd"], model["b_fwd"], model["ln_et"])
+    Kh_r = _hard_K(gap_string, model["a_rev"], model["b_rev"], model["ln_et"])
+    sh = jnp.where(rev, _score(oh, Kh_r, cfg.Wp), _score(oh, Kh_f, cfg.Wp))
+    sh = jnp.where(legal, sh, NEG)
+    mh10 = jnp.max(sh, axis=1) / LN10
+    pos_h = jnp.argmax(sh, axis=1).astype(jnp.int32) - cfg.WL
+    accept = (mh10 > NEG / 2) & (-mh10 < cfg.gap_prob_cutoff) & inst["u_valid"]
+    likelihood = jnp.sum(jnp.where(inst["u_valid"],
+                                   jnp.where(accept, mh10, -50.0), 0.0))
+    valid = jnp.sum(accept)
+
+    # hard counts at max positions only (3868-3879)
+    w_hard = (accept[:, None] & (jnp.arange(cfg.Wp)[None, :] ==
+                                 (pos_h + cfg.WL)[:, None])).astype(jnp.float32)
+    new_counts = _accumulate(w_hard, oh, cfg)
+    new_counts = jnp.where(gap_zone[:, None], new_counts, 0.0)
+
+    cons2, cov = consensus_from_counts(new_counts, gap_zone, 1,
+                                       cfg.coverage_threshold1)
+    gap_cov = jax.lax.dynamic_slice(cov, (cfg.WL,), (cfg.max_gap_len,))
+
+    region_perct = jnp.float32(0.0)
+    discont = jnp.bool_(False)
+    if finalize_flag:
+        # low-coverage region detection (3935-3977)
+        t = jnp.arange(cfg.max_gap_len)
+        in_gap = t < inst["gap_len"]
+        low = (gap_cov < cfg.coverage_threshold2) & in_gap
+        # run_start[t] = (last ~low index before t) + 1
+        not_low_idx = jnp.where((~low) & in_gap, t, -1)
+        run_start = jax.lax.cummax(not_low_idx, axis=0) + 1
+        # run_end[t] = (first ~low index at/after t) - 1
+        nxt = jnp.where((~low) & in_gap, t, 1 << 20)
+        next_not_low = jax.lax.cummin(nxt[::-1], axis=0)[::-1]
+        run_end = jnp.where(next_not_low < 1 << 20, next_not_low - 1,
+                            inst["gap_len"] - 1)
+        run_len = run_end - run_start + 1
+        qualif = low & (run_len >= 10)
+        first_q = jnp.min(jnp.where(qualif, t, 1 << 20))
+        last_q = jnp.max(jnp.where(qualif, t, -(1 << 20)))
+        any_q = jnp.any(qualif)
+        region_perct = jnp.where(
+            any_q, (last_q - first_q).astype(jnp.float32) /
+            jnp.maximum(inst["gap_len"], 1), 0.0)
+        # discard interior-only reads (3993-4013)
+        interior = accept & (pos_h >= first_q) & (pos_h + inst["u_len"] - 1 < last_q)
+        interior = interior & any_q
+        likelihood = likelihood - 50.0 * jnp.sum(interior)
+        accept = accept & ~interior
+        valid = valid - jnp.sum(interior)
+        ov_val, accept, discont = _find_overlap_unmapped(
+            cfg, inst, accept, pos_h, inst["u_len"])
+        likelihood = likelihood + ov_val
+
+    return dict(counts=counts, new_counts=new_counts, likelihood=likelihood,
+                accept=accept, pos=pos_h, valid=valid, cons2=cons2,
+                region_perct=region_perct, discont=discont, mx10=mx10)
+
+
+def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool):
+    """Unmapped EM: iterate until consensus stable 5x or iteration cap.
+
+    fillGap 6323-6344 unmapped branch; for small gaps (large_gap_flag==0) the
+    loop runs with finalize extras off and one finalize placeReads at the end
+    (6348-6352).
+    """
+    gap_zone = _gap_zone(inst, cfg)
+    counts0 = _counts_flank(inst, cfg)
+    counts0 = counts0.at[:, 4].add(jnp.where(gap_zone, 1.0, 0.0))
+    probs0 = compute_probs_gap(counts0)
+    # partial-stack init runs in unmapped mode too (computeProbsGap(1) at init)
+    st4, _, _ = partial_stack_probs(
+        inst["pr"], inst["p_clip"], inst["p_match"], inst["p_len"],
+        inst["p_valid"], cfg.max_gap_len, inst["gap_len"])
+    tot = st4.sum(axis=1, keepdims=True)
+    stp = jnp.concatenate([st4 / tot, jnp.zeros_like(tot)], axis=1)
+    stp_w = jnp.zeros((cfg.W, 5)).at[cfg.WL : cfg.WL + cfg.max_gap_len].set(stp)
+    probs0 = jnp.where(gap_zone[:, None], stp_w, probs0)
+    eprobs0 = compute_error_probs_gap(probs0, model["et"])
+
+    prev_cons = jnp.full((cfg.max_gap_len,), -1, jnp.int8)
+    R = inst["ur"].shape[0]
+    init = dict(
+        it=jnp.int32(0), comp=jnp.int32(0), done=jnp.bool_(False),
+        probs=probs0, eprobs=eprobs0,
+        counts=counts0, likelihood=jnp.float32(0.0),
+        accept=jnp.zeros(R, bool), pos=jnp.zeros(R, jnp.int32),
+        valid=jnp.int32(0), prev=prev_cons,
+        region_perct=jnp.float32(0.0), discont=jnp.bool_(False),
+    )
+
+    def cond(s):
+        return (~s["done"]) & (s["it"] < cfg.em_iters)
+
+    def body(s):
+        out = _place_unmapped(cfg, inst, model, s["probs"], s["eprobs"],
+                              finalize_flag)
+        gc = jax.lax.dynamic_slice(out["cons2"], (cfg.WL,), (cfg.max_gap_len,))
+        same = jnp.all(gc == s["prev"])
+        comp = jnp.where(same, s["comp"] + 1, 0)
+        probs = compute_probs_gap(out["counts"])
+        eprobs = compute_error_probs_gap(probs, model["et"])
+        done = comp >= cfg.comp_stable
+        if finalize_flag:
+            # large-gap early break (6338)
+            done = done | (out["region_perct"] * inst["gap_len"].astype(jnp.float32)
+                           < 2.0 * cfg.L)
+        return dict(it=s["it"] + 1, comp=comp, done=done, probs=probs,
+                    eprobs=eprobs, counts=out["counts"],
+                    likelihood=out["likelihood"], accept=out["accept"],
+                    pos=out["pos"], valid=out["valid"], prev=gc,
+                    region_perct=out["region_perct"], discont=out["discont"])
+
+    s = jax.lax.while_loop(cond, body, init)
+
+    if not finalize_flag:
+        # one finalize-mode placeReads after convergence (6348-6352)
+        out = _place_unmapped(cfg, inst, model, s["probs"], s["eprobs"], True)
+        s = dict(s, likelihood=out["likelihood"], accept=out["accept"],
+                 pos=out["pos"], valid=out["valid"], counts=out["counts"],
+                 region_perct=out["region_perct"], discont=out["discont"])
+
+    cons, _ = consensus_from_counts(s["counts"], gap_zone, 0, 0)
+    gap_cons = jax.lax.dynamic_slice(cons, (cfg.WL,), (cfg.max_gap_len,))
+    # edge flags for small-gap scan heuristics (3894-3911)
+    val = s["pos"] + inst["u_len"] - inst["gap_len"]
+    acc = s["accept"]
+    ucoverf = jnp.any(acc & (s["pos"] < 0) & (val > 0) & (-s["pos"] > 3) & (val > 3))
+    umaxleftf = jnp.any(acc & (s["pos"] < 0) & (s["pos"] + inst["u_len"] > 0)
+                        & (-s["pos"] > 3))
+    umaxrightf = jnp.any(acc & (s["pos"] > 0) & (s["pos"] < inst["gap_len"])
+                         & (val > 0) & (val > 3))
+    return dict(
+        likelihood=s["likelihood"], consensus=gap_cons, valid=s["valid"],
+        accept=s["accept"], pos=s["pos"], counts=s["counts"],
+        region_perct=s["region_perct"], discont=s["discont"],
+        ucoverf=ucoverf, umaxleftf=umaxleftf, umaxrightf=umaxrightf,
+        iters=s["it"],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "finalize_flag"))
+def fill_batch(cfg: FillConfig, insts, model, finalize_flag: bool = True):
+    """vmapped EM over the instance axis.
+
+    ``insts``: dict of arrays with leading instance axis; ``model``: shared
+    model arrays (e_fwd/e_rev/a_fwd/a_rev/b_fwd/b_rev (L,), et/ln_et (5,5),
+    ln_ins (M,)).
+    """
+    if cfg.partial_mode:
+        fn = lambda inst: em_partial_instance(cfg, inst, model)
+    else:
+        fn = lambda inst: em_unmapped_instance(cfg, inst, model, finalize_flag)
+    return jax.vmap(fn)(insts)
+
+
+# ===========================================================================
+# finalize passes (Figbird.cpp finalize 4929-5399): deterministic re-placement
+# against the chosen bestString, no insert prior, acceptance gated by the
+# saved-read flags from the winning scan instance.
+# ===========================================================================
+
+def finalize_unmapped_instance(cfg: FillConfig, inst, model, best_string, saved):
+    R, L = inst["ur"].shape
+    gap_zone = _gap_zone(inst, cfg)
+    bw = jnp.full((cfg.W,), 4, jnp.int8).at[cfg.WL : cfg.WL + cfg.max_gap_len].set(
+        best_string)
+    gap_string = jnp.where(gap_zone, bw, inst["tmpl"])
+    j = jnp.arange(L)[None, :]
+    jv = j < inst["u_len"][:, None]
+    oh = _onehot5(inst["ur"], jv).reshape(R, L * 5)
+    legal, _ = _legal_unmapped(cfg, inst, model)
+    Kh_f = _hard_K(gap_string, model["a_fwd"], model["b_fwd"], model["ln_et"])
+    Kh_r = _hard_K(gap_string, model["a_rev"], model["b_rev"], model["ln_et"])
+    rev = (inst["u_rev"] == 1)[:, None]
+    sh = jnp.where(rev, _score(oh, Kh_r, cfg.Wp), _score(oh, Kh_f, cfg.Wp))
+    sh = jnp.where(legal, sh, NEG)
+    mh10 = jnp.max(sh, axis=1) / LN10
+    pos = jnp.argmax(sh, axis=1).astype(jnp.int32) - cfg.WL
+    accept = ((mh10 > NEG / 2) & (-mh10 < cfg.gap_prob_cutoff)
+              & (saved == 1) & inst["u_valid"])
+    w_hard = (accept[:, None] & (jnp.arange(cfg.Wp)[None, :] ==
+                                 (pos + cfg.WL)[:, None])).astype(jnp.float32)
+    counts = _accumulate(w_hard, oh, cfg)
+    counts = jnp.where(gap_zone[:, None], counts, 0.0)
+
+    gl = inst["gap_len"]
+    rl = inst["u_len"]
+    end = pos + rl
+    left_start_zero = jnp.any(accept & (pos == 0))
+    right_fin_glen = jnp.any(accept & (end == gl))
+    lrc0 = accept & (pos < 0) & (end > 0)
+    lrc1 = accept & (pos < gl) & (end - gl > 0)
+    umax_l = jnp.max(jnp.where(lrc0, -pos, 0))
+    umax_r = jnp.max(jnp.where(lrc1, end - gl, 0))
+    total = jnp.sum(inst["u_valid"])
+    used = jnp.sum(accept)
+    return dict(counts=counts, accept=accept, pos=pos,
+                left_right_check=jnp.stack([jnp.any(lrc0), jnp.any(lrc1)]),
+                umax_left=umax_l, umax_right=umax_r,
+                left_start_zero=left_start_zero, right_fin_glen=right_fin_glen,
+                total=total, used=used)
+
+
+def finalize_partial_instance(cfg: FillConfig, inst, model, best_string,
+                              saved_l, saved_r):
+    P, L = inst["pr"].shape
+    gap_zone = _gap_zone(inst, cfg)
+    bw = jnp.full((cfg.W,), 4, jnp.int8).at[cfg.WL : cfg.WL + cfg.max_gap_len].set(
+        best_string)
+    gap_string = jnp.where(gap_zone, bw, inst["tmpl"])
+    j = jnp.arange(L)[None, :]
+    plen = inst["p_len"][:, None]
+    left = ((inst["p_match"] == 1) | (inst["p_match"] == 4))[:, None]
+    jv_count = j < plen
+    jv_score = jv_count & jnp.where(left, j >= cfg.clip_thresh,
+                                    j < plen - cfg.clip_thresh)
+    oh_score = _onehot5(inst["pr"], jv_score).reshape(P, L * 5)
+    oh_count = _onehot5(inst["pr"], jv_count).reshape(P, L * 5)
+    legal = _legal_partial(cfg, inst, model)
+    Kh = _hard_K(gap_string, model["a_fwd"], model["b_fwd"], model["ln_et"])
+    sh = jnp.where(legal, _score(oh_score, Kh, cfg.Wp), NEG)
+    mh10 = jnp.max(sh, axis=1) / LN10
+    pos = jnp.argmax(sh, axis=1).astype(jnp.int32) - cfg.WL
+    r = jnp.arange(P)
+    accept = (((mh10 > NEG / 2) & (-mh10 < cfg.gap_prob_cutoff))
+              | (r == saved_l) | (r == saved_r)) & inst["p_valid"]
+    w_hard = (accept[:, None] & (jnp.arange(cfg.Wp)[None, :] ==
+                                 (pos + cfg.WL)[:, None])).astype(jnp.float32)
+    counts = _accumulate(w_hard, oh_count, cfg)
+    counts = jnp.where(gap_zone[:, None], counts, 0.0)
+    # quality-weighted counts for check_update (5389)
+    ohq = (_onehot5(inst["pr"], jv_count)
+           * inst["p_qerr"][..., None]).reshape(P, L * 5)
+    qual = _accumulate(w_hard, ohq, cfg)
+    qual = jnp.where(gap_zone[:, None], qual, 0.0)
+
+    gl = inst["gap_len"]
+    rl = inst["p_len"]
+    leftcount = jnp.sum(accept & (pos < 0))
+    rightcount = jnp.sum(accept & (pos >= 0))
+    spanning = jnp.any(accept & (pos < 0) & (pos + rl >= gl)
+                       & (-pos >= 3) & (pos + rl - gl >= 3))
+    total = jnp.sum(inst["p_valid"])
+    used = jnp.sum(accept)
+    return dict(counts=counts, qual=qual, accept=accept, pos=pos,
+                leftcount=leftcount, rightcount=rightcount, spanning=spanning,
+                total=total, used=used)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def finalize_batch(cfg: FillConfig, insts, model, best_strings, saved,
+                   saved_l=None, saved_r=None):
+    if cfg.partial_mode:
+        fn = lambda inst, bs, sl, sr: finalize_partial_instance(
+            cfg, inst, model, bs, sl, sr)
+        return jax.vmap(fn)(insts, best_strings, saved_l, saved_r)
+    fn = lambda inst, bs, sv: finalize_unmapped_instance(cfg, inst, model, bs, sv)
+    return jax.vmap(fn)(insts, best_strings, saved)

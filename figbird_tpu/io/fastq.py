@@ -58,7 +58,19 @@ class ReadBatch:
 
 def read_fastq(path: str | Path, max_len: int | None = None, with_qual: bool = True,
                limit: int | None = None) -> ReadBatch:
-    """Parse a FASTQ file (4-line records) into a ReadBatch."""
+    """Parse a FASTQ file (4-line records) into a ReadBatch.
+
+    Uses the native C++ parser (native/figbird_native.cpp) when built; falls
+    back to the numpy path below.
+    """
+    if limit is None:
+        from .native import native_read_fastq
+
+        nb = native_read_fastq(str(path), max_len)
+        if nb is not None:
+            if not with_qual:
+                nb.qual = None
+            return nb
     data = Path(path).read_bytes()
     lines = data.split(b"\n")
     # records: id, seq, +, qual

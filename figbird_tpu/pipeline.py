@@ -1,0 +1,329 @@
+"""Outer pipeline driver.
+
+Replaces RunFigbird.sh: the iteration schedule (522-775), per-iteration tool
+sequencing (run_bowtie 182-361 / run_bowtie_user 363-489), convergence gating
+on the remaining-N flag (FillGaps.cpp:917-926), and artifact emission
+(gapInfo.txt / gapout_<n>.txt / per-iteration filled FASTA).
+
+One iteration =
+  1. [itr 1] flank trim (FlankTrim.cpp) applied to the working genome;
+  2. model/partial pass: local-align the minimum-insert library against the
+     current genome, learn the insert/error model from unique concordant
+     pairs, and triage clipped reads into partial bundles;
+  3. [unmapped mode] end-to-end-align the target library (insert bound
+     1.15x its mean) — optionally against the gapped-scaffold-reduced genome
+     (Reduce_SCF.cpp) — relearn the insert model from its own concordant
+     pairs when plentiful (the jump pre-pass, Preprocess.cpp:2313-2445, with
+     the <1000-line myout fallback RunFigbird.sh:342-347), and triage
+     one-anchored mates into unmapped bundles;
+  4. batched gap-fill EM + scaffold splice; Ncount convergence flag.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from .align import Aligner, AlignParams, build_index, build_pair_table
+from .align.core import _revcomp_batch
+from .config import INSERT_FRAC, FigbirdConfig
+from .dtypes import N, decode
+from .genome import Genome
+from .io.fasta import read_fasta, write_fasta
+from .io.fastq import ReadBatch, read_fastq
+from .model.error_model import (
+    ErrorModel,
+    alignment_error_log10,
+    collect_stats,
+    compute_gap_prob_cutoff,
+    finalize_model,
+)
+from .fill import fill_gaps
+from .triage import GapBundle, Triage
+
+
+@dataclass
+class IterationStats:
+    itr: int
+    mode: str
+    lib: int
+    n_pairs: int
+    n_model: int
+    gaps: int
+    filled: int
+    n_before: int
+    n_after: int
+    seconds: float
+    reads_per_sec: float = 0.0
+
+
+@dataclass
+class PipelineResult:
+    genome: Genome
+    iterations: list = field(default_factory=list)
+    gap_history: list = field(default_factory=list)  # per-itr (gaps, strings)
+
+    @property
+    def fillmore(self) -> bool:
+        return self.iterations[-1].n_after not in (0, self.iterations[-1].n_before) \
+            if self.iterations else True
+
+
+def _oriented(batch: ReadBatch, align: dict) -> np.ndarray:
+    import jax.numpy as jnp
+
+    rc = np.asarray(_revcomp_batch(jnp.asarray(batch.seq), jnp.asarray(batch.length)))
+    return np.where(align["strand"][:, None] == 1, rc, batch.seq)
+
+
+def _learn_model(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
+                 partial_len, input_mean=0.0) -> tuple[ErrorModel, int]:
+    m = pt.model
+    n_model = int(m.sum())
+    if n_model == 0:
+        return None, 0
+    o1, o2 = _oriented(r1, a1), _oriented(r2, a2)
+    reads = np.concatenate([o1[m], o2[m]])
+    lens = np.concatenate([r1.length[m], r2.length[m]])
+    wins = np.concatenate([a1["pos"][m], a2["pos"][m]]).astype(np.int64)
+    strands = np.concatenate([a1["strand"][m], a2["strand"][m]])
+    mism = np.concatenate([a1["mism"][m], a2["mism"][m]])
+    clr = contig_lengths[np.concatenate([pt.contig[m, 0], pt.contig[m, 1]])]
+    st = collect_stats(idx.flat, reads, lens, wins, strands, mism,
+                       inserts=np.concatenate([pt.insert[m],
+                                               np.zeros(n_model, np.int64)]),
+                       contig_len_of_read=np.concatenate(
+                           [clr[:n_model], np.zeros(n_model)]),
+                       input_mean=input_mean,
+                       max_read_length=int(max(r1.seq.shape[1], r2.seq.shape[1])))
+    model = finalize_model(st, contig_lengths, partial_flag=partial_flag,
+                           partial_len=partial_len)
+    # gap-prob cutoff from mate2 error probabilities (computeLikelihood side
+    # effect, Figbird.cpp:1312-1322)
+    L2 = r2.seq.shape[1]
+    j = np.arange(L2)
+    win2 = a2["pos"][m].astype(np.int64)
+    from2 = idx.flat[win2[:, None] + j[None, :]]
+    lg2 = alignment_error_log10(model, o2[m], r2.length[m], a2["strand"][m],
+                                a2["mism"][m], from2)
+    model.gap_prob_cutoff = compute_gap_prob_cutoff(model, lg2)
+    return model, n_model
+
+
+class Pipeline:
+    """Stateful pipeline over in-memory genome + read libraries."""
+
+    def __init__(self, cfg: FigbirdConfig, genome: Genome,
+                 libs: list[tuple[ReadBatch, ReadBatch]],
+                 workdir: str | Path | None = None,
+                 align_params: AlignParams = AlignParams(),
+                 use_genome_reduction: bool = True,
+                 min_model_pairs: int = 500,
+                 fill_kwargs: dict | None = None):
+        cfg.validate()
+        self.cfg = cfg
+        self.genome = genome
+        self.libs = []
+        for lib, (r1, r2) in zip(cfg.read_pairs, libs):
+            if lib.is_reverse:  # Reverse.cpp: RC both files of RF libraries
+                r1, r2 = r1.revcomp(), r2.revcomp()
+            self.libs.append((r1, r2))
+        self.workdir = Path(workdir) if workdir else None
+        if self.workdir:
+            for d in ("Filled_Scaffolds", "Individual_gaps", "Temp"):
+                (self.workdir / d).mkdir(parents=True, exist_ok=True)
+        self.align_params = align_params
+        self.use_genome_reduction = use_genome_reduction
+        self.min_model_pairs = min_model_pairs
+        self.fill_kwargs = fill_kwargs or {}
+        self.itr = 0
+        self.saved_model: ErrorModel | None = None
+        self.result = PipelineResult(genome)
+        self._aligned_reads = 0
+        self._align_seconds = 0.0
+
+    # ------------------------------------------------------------------
+    def _align_lib(self, genome: Genome, lib_i: int, max_insert: int):
+        r1, r2 = self.libs[lib_i]
+        idx = build_index(genome, k=15)
+        al = Aligner(idx, self.align_params)
+        t0 = time.time()
+        a1 = al.align(r1.seq, r1.length)
+        a2 = al.align(r2.seq, r2.length)
+        self._align_seconds += time.time() - t0
+        self._aligned_reads += 2 * len(r1)
+        pt = build_pair_table(idx, a1, a2, r1.length, r2.length, max_insert)
+        return idx, a1, a2, pt
+
+    # ------------------------------------------------------------------
+    def run_iteration(self, mode: str, lib_i: int) -> IterationStats:
+        """One filling iteration; mode 'p' (partial) or 'u' (unmapped)."""
+        self.itr += 1
+        t0 = time.time()
+        cfgp = self.cfg.parameters
+        genome = self.genome
+        if self.itr == 1 and cfgp.trim_len > 0:
+            genome = genome.flank_trim(
+                cfgp.trim_len, self.cfg.read_pairs[lib_i].max_read_length)
+        n_before = genome.count_n()
+        gaps = genome.find_gaps()
+
+        # --- model/partial pass: minimum-insert library, local alignment ----
+        mi = self.cfg.min_isz_index
+        m_lib = self.cfg.read_pairs[mi]
+        maxD1 = m_lib.avg_insert_size
+        idx, a1, a2, pt = self._align_lib(genome, mi, max_insert=maxD1)
+        partial_len = m_lib.max_read_length
+        model, n_model = _learn_model(
+            idx, pt, a1, a2, *self.libs[mi], genome.lengths,
+            partial_flag=(mode == "p"), partial_len=partial_len,
+            input_mean=(m_lib.avg_insert_size if cfgp.set_inputmean else 0.0))
+        if model is None or n_model < self.min_model_pairs:
+            model = self.saved_model
+            if model is None:
+                raise RuntimeError("no model could be learned (too few pairs)")
+        else:
+            self.saved_model = model
+
+        r1, r2 = self.libs[mi]
+        o1, o2 = _oriented(r1, a1), _oriented(r2, a2)
+        tri = Triage(gaps, max_distance=maxD1,
+                     read_mean=m_lib.avg_insert_size, is_jump=False)
+        tri.collect_partial(pt, r1, r2, o1, o2)
+        bundles = tri.bundles
+        n_pairs = len(r1)
+
+        # --- unmapped pass ---------------------------------------------------
+        if mode == "u":
+            t_lib = self.cfg.read_pairs[lib_i]
+            maxD2 = int(t_lib.avg_insert_size * INSERT_FRAC)
+            genome2 = genome
+            gaps2 = gaps
+            remap = None
+            if self.use_genome_reduction and not t_lib.is_jump:
+                genome2, remap = genome.reduce_to_gapped()
+                gaps2 = genome2.find_gaps()
+            idx2, b1, b2, pt2 = self._align_lib(genome2, lib_i, max_insert=maxD2)
+            n_pairs += len(self.libs[lib_i][0])
+            # jump pre-pass model relearn (insert bound > 250)
+            if maxD2 > 250:
+                m2, nm2 = _learn_model(
+                    idx2, pt2, b1, b2, *self.libs[lib_i], genome2.lengths,
+                    partial_flag=False, partial_len=partial_len,
+                    input_mean=(t_lib.avg_insert_size if cfgp.set_inputmean
+                                else 0.0))
+                if m2 is not None and nm2 >= self.min_model_pairs:
+                    model = m2
+            tri2 = Triage(gaps2, max_distance=maxD2,
+                          read_mean=t_lib.avg_insert_size,
+                          is_jump=t_lib.is_jump)
+            tri2.collect_unmapped(pt2, *self.libs[lib_i])
+            # merge unmapped bundles back into the full-genome gap list
+            for b2_, b in zip(tri2.bundles, bundles):
+                b.u_seq, b.u_pos, b.u_rev = b2_.u_seq, b2_.u_pos, b2_.u_rev
+
+        # --- fill + splice ---------------------------------------------------
+        res = fill_gaps(
+            genome, gaps, bundles, model,
+            partial_mode=(mode == "p"), partial_len=partial_len,
+            neg_overlap=cfgp.gaplen_negative_overlap,
+            **self.fill_kwargs,
+        )
+        new_genome = genome.splice_gaps(
+            gaps, res.gap_strings, list(res.gaptofill))
+        n_after = new_genome.count_n()
+        self.genome = new_genome
+        self.result.genome = new_genome
+        self.result.gap_history.append((gaps, res.gap_strings, res.gaptofill))
+
+        if self.workdir:
+            self._write_artifacts(gaps, res, new_genome)
+
+        stats = IterationStats(
+            itr=self.itr, mode=mode, lib=lib_i, n_pairs=n_pairs,
+            n_model=n_model, gaps=len(gaps), filled=res.stats["filled"],
+            n_before=n_before, n_after=n_after, seconds=time.time() - t0,
+        )
+        self.result.iterations.append(stats)
+        return stats
+
+    # ------------------------------------------------------------------
+    def _write_artifacts(self, gaps, res, new_genome):
+        wd = self.workdir
+        with open(wd / "Temp" / "gapInfo.txt", "w") as fh:
+            for g in gaps:
+                fh.write(f"{g.contig}\t{g.start}\t{g.length}\n")
+        with open(wd / "Individual_gaps" / f"gapout_{self.itr}.txt", "w") as fh:
+            for i, (g, s) in enumerate(zip(gaps, res.gap_strings)):
+                seq = decode(s) if len(s) else ""
+                fh.write(f"{i}\t{g.contig}\t{g.start}\t{g.length}\t{len(s)}\t{seq}\n")
+        write_fasta(wd / "Filled_Scaffolds" / f"{self.itr}filledContigs.fa",
+                    new_genome.to_fasta())
+        fillmore = 0 if new_genome.count_n() == 0 else 1
+        (wd / "Temp" / "Ncount.txt").write_text(str(fillmore))
+
+    # ------------------------------------------------------------------
+    def run(self, max_iterations: int | None = None) -> PipelineResult:
+        """Full schedule (RunFigbird.sh:534-775)."""
+        cfg = self.cfg
+        libs = cfg.read_pairs
+        done = 0
+        budget = max_iterations or 16
+
+        def fillmore() -> bool:
+            if not self.result.iterations:
+                return True
+            last = self.result.iterations[-1]
+            return last.n_after > 0 and last.n_after != last.n_before
+
+        def do(mode, lib_i) -> bool:
+            nonlocal done
+            if done >= budget:
+                return False
+            self.run_iteration(mode, lib_i)
+            done += 1
+            return fillmore()
+
+        if cfg.parameters.default == 1:
+            frag = [i for i, l in enumerate(libs) if not l.is_jump]
+            jump = [i for i, l in enumerate(libs) if l.is_jump]
+            if len(libs) == 2 and len(frag) == 1 and len(jump) == 1:
+                # two-lib special case (534-595): 1p, 2u, 1p, 1u, 3p
+                seq = ([("p", frag[0])] + [("u", jump[0])] * 2
+                       + [("p", frag[0])] + [("u", jump[0])]
+                       + [("p", frag[0])] * 3)
+            else:
+                p_libs = frag if frag else jump
+                seq = []
+                for i in jump:
+                    seq += [("u", i)] * 2
+                for i in p_libs:
+                    seq += [("p", i)] * 2
+                for i in jump:
+                    seq += [("u", i)]
+                for i in p_libs:
+                    seq += [("p", i)] * 3
+        else:
+            order = sorted(range(len(libs)), key=lambda i: libs[i].serial_num)
+            seq = []
+            for i in order:
+                for o in libs[i].order:
+                    n = (libs[i].num_itr_partial if o == "p"
+                         else libs[i].num_itr_unmapped)
+                    seq += [(o, i)] * n
+
+        for mode, lib_i in seq:
+            if not do(mode, lib_i):
+                break
+        return self.result
+
+
+def run_from_config(cfg: FigbirdConfig, workdir: str | Path | None = None,
+                    **kwargs) -> PipelineResult:
+    genome = Genome.from_fasta(read_fasta(cfg.draft_genome))
+    libs = [(read_fastq(l.path_1), read_fastq(l.path_2)) for l in cfg.read_pairs]
+    pipe = Pipeline(cfg, genome, libs, workdir=workdir, **kwargs)
+    return pipe.run()

@@ -1,0 +1,332 @@
+"""Read -> gap assignment (the Preprocess.cpp triage layer).
+
+Builds per-gap read bundles from alignment pair tables:
+
+* **unmapped bundles** — one-end-anchored pairs whose free mate is dropped
+  into a gap by anchor geometry ``checkPos`` (Preprocess.cpp:536-614):
+  frag libs (maxDistance<=250): anchor within maxDistance upstream (fwd) /
+  downstream (rev) of the gap; jump libs: insert-geometry pick closest to the
+  library mean with a +/-1000 admission window and a 0.4*mean floor.
+  The free mate is stored genome-oriented per the anchor strand with the
+  ``is_reverse`` cycle flag, replicating Preprocess case-2 + parseUnmapped
+  (Preprocess.cpp:1202-1343, Figbird.cpp:5727-5736).
+
+* **partial bundles** — clipped reads overhanging gap edges, assigned by
+  ``checkPos2`` (Preprocess.cpp:616-639) and encoded like writePartialSam
+  (Preprocess.cpp:425-502): oriented seq, clipped_index, 4-way match code
+  (1=left-fwd, 2=right-fwd, 3=right-rev, 4=left-rev), SAM pos, mate ref pos.
+
+  The reference only harvests *left-anchored* overhangs (match 1/4) plus
+  deletion-spanning right reads; left-clipped reads anchored on the right
+  flank are discarded ("Only S--M, so discard", Preprocess.cpp:458-461).
+  We additionally admit those as match 2/3 (``use_right_clipped=True``,
+  a capability superset; set False for reference parity).
+
+Caps (3000/gap) and first-come order match the reference; dedup is exact
+sequence hashing (the reference's jump-mode substring check is approximated
+by also hashing the 2-char-trimmed middle, Preprocess.cpp:362-402).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..dtypes import GAP_CODE, PARTIAL_LIMIT, UNMAPPED_LIMIT, revcomp
+from ..genome import GapInfo
+from ..align.index import KmerIndex
+from ..align.pairing import PairTable
+from ..io.fastq import ReadBatch
+
+
+@dataclass
+class GapBundle:
+    """Per-gap read sets, ragged (host side)."""
+
+    gap: GapInfo
+    # unmapped-mode reads
+    u_seq: list = field(default_factory=list)       # genome-oriented int8 arrays
+    u_pos: list = field(default_factory=list)       # anchor SAM pos (1-based)
+    u_rev: list = field(default_factory=list)       # is_reverse cycle flag
+    # partial-mode reads
+    p_seq: list = field(default_factory=list)       # oriented int8 arrays
+    p_clip: list = field(default_factory=list)      # clipped_index
+    p_match: list = field(default_factory=list)     # 1..4
+    p_pos: list = field(default_factory=list)       # read SAM pos (1-based)
+    p_refpos: list = field(default_factory=list)    # mate SAM pos or -1
+    p_qual: list = field(default_factory=list)      # per-base error prob arrays
+    _u_hashes: set = field(default_factory=set)
+    _p_hashes: set = field(default_factory=set)
+
+    @property
+    def n_unmapped(self) -> int:
+        return len(self.u_seq)
+
+    @property
+    def n_partial(self) -> int:
+        return len(self.p_seq)
+
+
+def _gap_lookup_frag(gaps: list[GapInfo], contig: int, pos1: int, strand: int,
+                     max_distance: int) -> int:
+    """checkPos fast path for maxDistance<=250 (Preprocess.cpp:552-556)."""
+    for i, g in enumerate(gaps):
+        if g.contig != contig:
+            if g.contig > contig:
+                break
+            continue
+        if strand == 0 and g.start - max_distance < pos1 < g.start:
+            return i
+        ge = g.start + g.length
+        if strand == 1 and ge < pos1 < ge + max_distance:
+            return i
+    return -1
+
+
+def _gap_lookup_jump(gaps: list[GapInfo], contig: int, pos1: int, strand: int,
+                     readlen: int, max_distance: int, read_mean: float) -> int:
+    """checkPos insert-geometry path for jump libs (Preprocess.cpp:557-613)."""
+    best_i, best_abs = -1, 1 << 30
+    n_match, last_i = 0, -1
+    chosen_ins: dict[int, int] = {}
+    for i, g in enumerate(gaps):
+        if g.contig != contig:
+            if g.contig > contig:
+                break
+            continue
+        ge = g.start + g.length
+        in_window = (strand == 0 and g.start - max_distance < pos1 < g.start) or (
+            strand == 1 and ge < pos1 < ge + max_distance
+        )
+        if not in_window:
+            continue
+        if pos1 < g.start:
+            v0 = ge - pos1 + readlen
+            v1 = g.start - pos1 + 1
+        else:
+            v0 = pos1 - g.start + 2 * readlen - 1
+            v1 = pos1 - ge + readlen + 1
+        lo, hi = read_mean - 1000, read_mean + 1000
+        in_range = (lo < v0 < hi) or (lo < v1 < hi) or (
+            (v0 < lo and v1 > hi) or (v1 < lo and v0 > hi)
+        )
+        ins = 0
+        if in_range:
+            ins = v0 if abs(read_mean - v0) < abs(read_mean - v1) else v1
+        if ins != 0:
+            n_match += 1
+            last_i = i
+        chosen_ins[i] = ins
+        a = abs(read_mean - ins)
+        if a < best_abs:
+            best_abs, best_i = a, i
+    if n_match == 0:
+        return -1
+    ci = last_i if n_match == 1 else best_i
+    if chosen_ins.get(ci, 0) < read_mean - read_mean * 0.6:
+        return -1
+    return ci
+
+
+def _checkpos2(gaps: list[GapInfo], contig: int, pos1: int, readlen: int) -> int:
+    """checkPos2 left-overhang test (Preprocess.cpp:616-639), no-deletion case."""
+    for i, g in enumerate(gaps):
+        if g.contig != contig:
+            continue
+        if g.start - readlen + 1 < pos1 <= g.start:
+            return i
+    return -1
+
+
+def _seq_ok(seq: np.ndarray, frac: float = 0.8) -> bool:
+    """Reject reads that are mostly N (Preprocess ncount 80% filter)."""
+    return (seq == GAP_CODE).mean() < frac
+
+
+class Triage:
+    """Builds GapBundles for one library pass."""
+
+    def __init__(self, gaps: list[GapInfo], max_distance: int, read_mean: float,
+                 is_jump: bool, use_right_clipped: bool = True,
+                 partial_limit: int = PARTIAL_LIMIT,
+                 unmapped_limit: int = UNMAPPED_LIMIT):
+        self.gaps = gaps
+        self.max_distance = max_distance
+        self.read_mean = read_mean
+        self.is_jump = is_jump
+        self.use_right_clipped = use_right_clipped
+        self.partial_limit = partial_limit
+        self.unmapped_limit = unmapped_limit
+        self.bundles = [GapBundle(g) for g in gaps]
+        # index gaps by contig for fast lookup
+        self._by_contig: dict[int, list[tuple[int, GapInfo]]] = {}
+        for i, g in enumerate(gaps):
+            self._by_contig.setdefault(g.contig, []).append((i, g))
+
+    # -------------------------------------------------------------- unmapped
+    def _check_pos(self, contig: int, pos1: int, strand: int, readlen: int) -> int:
+        items = self._by_contig.get(contig, [])
+        sub = [g for _, g in items]
+        if self.max_distance <= 250:
+            j = _gap_lookup_frag(sub, contig, pos1, strand, self.max_distance)
+        else:
+            j = _gap_lookup_jump(sub, contig, pos1, strand, readlen,
+                                 self.max_distance, self.read_mean)
+        return items[j][0] if j >= 0 else -1
+
+    def _add_unmapped(self, gi: int, anchor_pos1: int, anchor_strand: int,
+                      mate_fastq: np.ndarray) -> None:
+        b = self.bundles[gi]
+        if b.n_unmapped >= self.unmapped_limit:
+            return
+        # genome orientation per anchor strand (parseUnmapped, Figbird.cpp:5727)
+        if anchor_strand == 0:
+            seq = revcomp(mate_fastq)
+            rev = 1
+        else:
+            seq = mate_fastq.copy()
+            rev = 0
+        h = seq.tobytes()
+        hm = seq[2:-2].tobytes() if self.is_jump and len(seq) > 4 else h
+        if h in b._u_hashes or (self.is_jump and hm in b._u_hashes):
+            return
+        b._u_hashes.add(h)
+        if self.is_jump:
+            b._u_hashes.add(hm)
+        b.u_seq.append(seq)
+        b.u_pos.append(int(anchor_pos1))
+        b.u_rev.append(rev)
+
+    def collect_unmapped(self, pt: PairTable, reads1: ReadBatch, reads2: ReadBatch
+                         ) -> None:
+        """Unmapped pass (samflag==2): one-anchored pairs -> gaps_<g> bundles.
+
+        For jump libs (maxDistance>250) both-mapped discordant pairs are also
+        used in both anchor directions (Preprocess.cpp:1202-1343).
+        """
+        n = len(pt.insert)
+        reads = (reads1, reads2)
+        for i in range(n):
+            oa = int(pt.one_anchored[i])
+            both = bool(pt.aligned[i, 0] and pt.aligned[i, 1])
+            if oa >= 0:
+                anchors = [(oa, 1 - oa)]
+            elif both and not pt.concordant[i] and self.max_distance > 250:
+                anchors = [(0, 1), (1, 0)]
+            else:
+                continue
+            for a_m, c_m in anchors:
+                contig = int(pt.contig[i, a_m])
+                if contig < 0:
+                    continue
+                pos1 = int(pt.pos[i, a_m])
+                strand = int(pt.strand[i, a_m])
+                cand = reads[c_m]
+                clen = int(cand.length[i])
+                seq = cand.seq[i, :clen]
+                if not _seq_ok(seq):
+                    continue
+                # if candidate mate was mapped reversed, restore FASTQ orientation
+                if both and int(pt.strand[i, c_m]) == 1:
+                    pass  # our ReadBatch is always FASTQ orientation already
+                gi = self._check_pos(contig, pos1, strand, clen)
+                if gi >= 0:
+                    self._add_unmapped(gi, pos1, strand, seq)
+
+    # -------------------------------------------------------------- partial
+    def _add_partial(self, gi: int, seq_oriented: np.ndarray, clipped_index: int,
+                     match: int, pos1: int, ref_pos: int,
+                     qual_err: np.ndarray | None) -> None:
+        b = self.bundles[gi]
+        if b.n_partial >= self.partial_limit:
+            return
+        h = seq_oriented.tobytes()
+        if h in b._p_hashes:
+            return
+        b._p_hashes.add(h)
+        b.p_seq.append(seq_oriented)
+        b.p_clip.append(int(clipped_index))
+        b.p_match.append(int(match))
+        b.p_pos.append(int(pos1))
+        b.p_refpos.append(int(ref_pos))
+        b.p_qual.append(
+            qual_err if qual_err is not None
+            else np.full(len(seq_oriented), 1e-3, np.float32)
+        )
+
+    def collect_partial(self, pt: PairTable, reads1: ReadBatch, reads2: ReadBatch,
+                        oriented1: np.ndarray, oriented2: np.ndarray) -> None:
+        """Partial pass (samflag==1): clipped/overhanging mates -> partial bundles.
+
+        ``oriented{1,2}`` are the reads in reference orientation (RC'd when the
+        alignment is on the reverse strand) — the SAM SEQ field equivalent.
+        """
+        from ..dtypes import phred_to_error_prob
+
+        n = len(pt.insert)
+        oriented = (oriented1, oriented2)
+        reads = (reads1, reads2)
+        for i in range(n):
+            conc = bool(pt.concordant[i])
+            pair_imperfect = (
+                pt.clip_start[i].max() > 0 or pt.clip_end[i].max() > 0
+            )
+            for m in range(2):
+                if not pt.aligned[i, m]:
+                    continue
+                if conc and not pair_imperfect:
+                    continue  # perfect-cigar pairs skip partial collection
+                if not conc and int(pt.one_anchored[i]) != m:
+                    continue  # discordant: only the mapped mate (case 2)
+                contig = int(pt.contig[i, m])
+                pos1 = int(pt.pos[i, m])
+                strand = int(pt.strand[i, m])
+                rl = int(reads[m].length[i])
+                ref_pos = int(pt.pos[i, 1 - m]) if conc else -1
+                items = self._by_contig.get(contig, [])
+                sub = [g for _, g in items]
+                j = _checkpos2(sub, contig, pos1, rl)
+                gi = items[j][0] if j >= 0 else -1
+                seq = oriented[m][i, :rl]
+                qual = reads[m].qual
+                if qual is not None:
+                    q = qual[i, :rl]
+                    if strand == 1:
+                        q = q[::-1]
+                    qerr = phred_to_error_prob(q)
+                else:
+                    qerr = None
+                if gi >= 0 and _seq_ok(seq):
+                    g = self.gaps[gi]
+                    # left-anchored overhang (writePartialSam pos<gap_s branch)
+                    cs, ce = int(pt.clip_start[i, m]), int(pt.clip_end[i, m])
+                    if cs > 0 and ce > 0:
+                        clipped_index = rl - ce - 1  # S-M-S
+                    elif cs > 0:
+                        continue  # "Only S--M, so discard" (ref parity)
+                    else:
+                        clipped_index = g.start - pos1  # M... (1-based pos)
+                    match = 1 if strand == 0 else 4
+                    self._add_partial(gi, seq, clipped_index, match, pos1,
+                                      ref_pos, qerr)
+                elif self.use_right_clipped:
+                    # capability superset: left-clipped read anchored at right flank
+                    cs = int(pt.clip_start[i, m])
+                    if cs < 3:
+                        continue
+                    pos0 = pos1 - 1
+                    gi2 = -1
+                    for jj, g in items:
+                        ge = g.start + g.length
+                        if ge <= pos0 <= ge + 3 and pos0 - cs <= ge:
+                            gi2 = jj
+                            break
+                    if gi2 < 0 or not _seq_ok(seq):
+                        continue
+                    g = self.gaps[gi2]
+                    ge = g.start + g.length
+                    clipped_index = cs - (pos0 - ge)
+                    match = 2 if strand == 0 else 3
+                    self._add_partial(gi2, seq, clipped_index, match, pos1,
+                                      ref_pos, qerr)

@@ -17,3 +17,9 @@ if "host_platform_device_count" not in flags:
     ).strip()
 # note: device code is written int32-clean (k<=15 codes, <2Gb flat genomes);
 # we intentionally do NOT enable x64.
+
+# Persistent compilation cache: test time is dominated by XLA CPU compiles on
+# this 2-vCPU host; cache makes re-runs near-instant.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

@@ -1,0 +1,173 @@
+"""GapFiller EM tests with hand-constructed bundles (aligner bypassed).
+
+Ground truth comes from a synthetic contig; reads are cut directly from the
+truth so the EM's job is isolated from alignment quality.
+"""
+
+import numpy as np
+import pytest
+
+from figbird_tpu.dtypes import N
+from figbird_tpu.genome import GapInfo, Genome
+from figbird_tpu.model.error_model import ModelStats, finalize_model
+from figbird_tpu.triage.assign import GapBundle
+from figbird_tpu.fill import fill_gaps
+
+L = 100
+INSERT = 200
+
+
+@pytest.fixture(scope="module")
+def model():
+    """A plain model: ~0.5% error, insert 200+/-15."""
+    st = ModelStats(L)
+    rng = np.random.default_rng(0)
+    ins = rng.normal(INSERT, 15, size=20000).astype(int)
+    np.add.at(st.insert_counts, np.clip(ins, 1, st.max_insert_size - 1), 1)
+    st.error_pos += 50        # ~0.5% with 10k reads covering each cycle
+    st.read_lengths[L - 1] = 10000
+    st.error_types += np.full((5, 5), 2)
+    st.base_counts += 10000 * L // 4
+    st.unique_mapped = 10000
+    m = finalize_model(st, np.array([100000]))
+    m.gap_prob_cutoff = 6
+    return m
+
+
+def _mk_draft(gap_len, seed=3, contig_len=3000, gap_at=1500):
+    rng = np.random.default_rng(seed)
+    truth = rng.integers(0, 4, size=contig_len, dtype=np.int8)
+    draft = truth.copy()
+    draft[gap_at : gap_at + gap_len] = N
+    genome = Genome(["c"], [draft])
+    gap = GapInfo(0, gap_at, gap_len)
+    return truth, genome, gap
+
+
+def _partial_bundle(truth, gap, starts):
+    """Left-anchored overhanging reads cut from truth (match 1)."""
+    b = GapBundle(gap)
+    for s in starts:
+        seq = truth[s : s + L].copy()
+        b.p_seq.append(seq)
+        b.p_clip.append(gap.start - (s + 1))  # writePartialSam: gap_s - pos1
+        b.p_match.append(1)
+        b.p_pos.append(s + 1)
+        b.p_refpos.append(-1)
+        b.p_qual.append(np.full(L, 1e-3, np.float32))
+    return b
+
+
+def _right_partial(b, truth, gap, starts):
+    """Right-anchored reads (match 2): start at gap end - k, clipped_index=k."""
+    ge = gap.start + gap.length
+    for s in starts:
+        seq = truth[s : s + L].copy()
+        k = ge - s  # chars of the read inside/before the flank boundary
+        b.p_seq.append(seq)
+        b.p_clip.append(k)
+        b.p_match.append(2)
+        b.p_pos.append(ge + 1)
+        b.p_refpos.append(-1)
+        b.p_qual.append(np.full(L, 1e-3, np.float32))
+    return b
+
+
+def _unmapped_bundle(truth, gap, starts, model):
+    """Interior reads with forward anchors placed to give insert ~INSERT."""
+    b = GapBundle(gap)
+    for s in starts:
+        seq = truth[s : s + L].copy()
+        b.u_seq.append(seq)
+        # anchor fwd: tempInsert = cpos - pos1 + L == INSERT at true cpos
+        b.u_pos.append(s - INSERT + L)
+        b.u_rev.append(1)
+        b.p_qual  # unused
+    return b
+
+
+def test_partial_fill_exact(model):
+    truth, genome, gap = _mk_draft(24)
+    starts = list(range(gap.start - 90, gap.start - 8, 4))
+    b = _partial_bundle(truth, gap, starts)
+    _right_partial(b, truth, gap, range(gap.start + gap.length - 88,
+                                        gap.start + gap.length - 10, 4))
+    res = fill_gaps(genome, [gap], [b], model, partial_mode=True,
+                    partial_len=L, max_scan_lengths=40)
+    s = res.gap_strings[0]
+    tr = truth[gap.start : gap.start + gap.length]
+    assert len(s) == gap.length, f"length {len(s)} != {gap.length}"
+    assert np.array_equal(s, tr), f"fill mismatch: {s} vs {tr}"
+
+
+def test_partial_fill_with_read_errors(model):
+    truth, genome, gap = _mk_draft(20, seed=5)
+    rng = np.random.default_rng(7)
+    starts = list(range(gap.start - 92, gap.start - 8, 3))
+    b = _partial_bundle(truth, gap, starts)
+    _right_partial(b, truth, gap, range(gap.start + gap.length - 90,
+                                        gap.start + gap.length - 12, 3))
+    # inject 1% errors
+    for seq in b.p_seq:
+        errs = rng.random(L) < 0.01
+        seq[errs] = (seq[errs] + 1) % 4
+    res = fill_gaps(genome, [gap], [b], model, partial_mode=True,
+                    partial_len=L, max_scan_lengths=40)
+    s = res.gap_strings[0]
+    tr = truth[gap.start : gap.start + gap.length]
+    assert len(s) == gap.length
+    assert (s == tr).mean() >= 0.9
+
+
+def test_unmapped_fill(model):
+    truth, genome, gap = _mk_draft(120, seed=9)
+    # dense interior coverage: reads starting inside/around the gap
+    starts = list(range(gap.start - 80, gap.start + gap.length - 20, 3))
+    b = _unmapped_bundle(truth, gap, starts, model)
+    res = fill_gaps(genome, [gap], [b], model, partial_mode=False,
+                    partial_len=L, max_scan_lengths=24)
+    s = res.gap_strings[0]
+    tr = truth[gap.start : gap.start + len(s)]
+    assert len(s) > 0
+    filled = s != N
+    assert filled.mean() > 0.5, f"mostly unfilled: {filled.mean()}"
+    assert (s[filled] == tr[: len(s)][filled]).mean() > 0.9
+
+
+def test_empty_bundle_skips(model):
+    truth, genome, gap = _mk_draft(30)
+    b = GapBundle(gap)
+    res = fill_gaps(genome, [gap], [b], model, partial_mode=True, partial_len=L)
+    assert np.all(res.gap_strings[0] == N)
+    assert res.stats["skipped"] == 1
+
+
+def test_negative_gap_merge(model):
+    # construct overlapping flanks: right flank prefix == left flank suffix
+    rng = np.random.default_rng(11)
+    truth = rng.integers(0, 4, size=2000, dtype=np.int8)
+    ov = 8
+    gap_at, gl = 1000, 10
+    draft = truth.copy()
+    # make right flank start repeat the left flank's last `ov` chars
+    draft[gap_at + gl : gap_at + gl + ov] = draft[gap_at - ov : gap_at]
+    draft[gap_at : gap_at + gl] = N
+    genome = Genome(["c"], [draft])
+    gap = GapInfo(0, gap_at, gl)
+    # a partial read verifying the junction: left flank ++ right-after-overlap
+    b = GapBundle(gap)
+    merged = np.concatenate([
+        draft[gap_at - 60 : gap_at],
+        draft[gap_at + gl + ov : gap_at + gl + ov + 40],
+    ])
+    b.p_seq.append(merged.astype(np.int8))
+    b.p_clip.append(59)
+    b.p_match.append(1)
+    b.p_pos.append(gap_at - 60 + 1)
+    b.p_refpos.append(-1)
+    b.p_qual.append(np.full(100, 1e-3, np.float32))
+    res = fill_gaps(genome, [gap], [b], model, partial_mode=True, partial_len=L,
+                    neg_overlap=30)
+    assert res.stats["neg_merged"] == 1
+    assert res.gaptofill[0] == ov
+    assert len(res.gap_strings[0]) == 0
