@@ -83,14 +83,50 @@ def _seed_codes(reads, lengths, k: int, n_seeds: int):
     return codes, valid, offs
 
 
-def _score_candidates(flat, reads, cand, cand_valid, match: int, mismatch: int):
+def _extract_span(table2d: jnp.ndarray, start: jnp.ndarray, S: int) -> jnp.ndarray:
+    """Read ``table2d.flat[start : start+S]`` for a batch of starts (S<=128).
+
+    TPU XLA gathers along the minor axis are ~60x slower than row gathers
+    (measured on v5e: 257 ms vs 4 ms for 256k windows).  So: gather two
+    128-wide rows per start (row-major gather, fast), then align the span
+    with 16+8 static shifted selects (offset = hi*8 + lo).  Works for any
+    dtype; callers pad the table via :func:`as_rows`.
+    """
+    row = start >> 7
+    seg = jnp.concatenate([table2d[row], table2d[row + 1]], axis=-1)
+    off = start & 127
+    S1 = S + 8
+    hi = off >> 3
+    st1 = jnp.zeros(seg.shape[:-1] + (S1,), seg.dtype)
+    for s in range(16):
+        st1 = jnp.where((hi == s)[..., None], seg[..., 8 * s : 8 * s + S1], st1)
+    lo = off & 7
+    win = jnp.zeros(seg.shape[:-1] + (S,), seg.dtype)
+    for r in range(8):
+        win = jnp.where((lo == r)[..., None], st1[..., r : r + S], win)
+    return win
+
+
+def _row_lookup(table2d: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table2d.flat[idx]`` via one row gather + a lane one-hot reduction."""
+    rows = table2d[idx >> 7]
+    oh = (idx & 127)[..., None] == jnp.arange(128)
+    return jnp.sum(jnp.where(oh, rows, 0), axis=-1)
+
+
+def _extract_windows(flat2d: jnp.ndarray, cand: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Gather (B,C) genome windows of length L without element gathers."""
+    return _extract_span(flat2d, cand, L)
+
+
+def _score_candidates(flat2d, reads, cand, cand_valid, match: int, mismatch: int):
     """Gapless local score for every (read, candidate window) pair.
 
     reads (B,L), cand (B,C) window starts.  Returns dict with local score,
     clip interval [start,end] (inclusive char indices), mismatches.
     """
     B, L = reads.shape
-    windows = flat[cand[:, :, None] + jnp.arange(L)[None, None, :]]  # (B,C,L)
+    windows = _extract_windows(flat2d, cand, L)  # (B,C,L)
     rv = (reads != GAP_CODE)[:, :, None].transpose(0, 2, 1)  # (B,1,L)
     rv = (reads != GAP_CODE)[:, None, :]
     m = (windows == reads[:, None, :]) & rv & (windows != GAP_CODE)
@@ -114,28 +150,69 @@ def _score_candidates(flat, reads, cand, cand_valid, match: int, mismatch: int):
     return dict(local=local, e2e=e2e, start=start, end=end, n_mis=n_mis, mism=mism)
 
 
-def _align_one_strand(flat, sorted_codes, sorted_pos, reads, lengths, k: int,
-                      p: AlignParams):
+def _seed_hits(tables: dict, codes, valid, H: int, repeat_limit: int,
+               prefix_shift):
+    """Look up seed k-mers; returns (hit_pos (B,S,H), hmask (B,S,H)).
+
+    Two paths: direct-addressed prefix buckets (2 row gathers + an in-bucket
+    suffix scan; default) or ``searchsorted`` binary search (fallback when no
+    bucket table, e.g. code-range-sharded tables).  The bucket path caps
+    recall at SCAN entries per bucket — buckets denser than that are repeat
+    territory that ``repeat_limit`` skips wholesale.
+    """
+    if prefix_shift is None:
+        sorted_codes, sorted_pos = tables["sorted_codes"], tables["sorted_pos"]
+        M = sorted_codes.shape[0]
+        lo = jnp.searchsorted(sorted_codes, codes, side="left")
+        hi = jnp.searchsorted(sorted_codes, codes, side="right")
+        cnt = hi - lo
+        h = jnp.arange(H)
+        hmask = ((h < cnt[..., None]) & valid[..., None]
+                 & (cnt[..., None] <= repeat_limit))
+        hit_idx = jnp.clip(lo[..., None] + h, 0, M - 1)
+        return sorted_pos[hit_idx], hmask
+
+    prefix = (codes >> prefix_shift).astype(jnp.int32)
+    lo = _row_lookup(tables["starts2d"], prefix)
+    hi = _row_lookup(tables["starts2d"], prefix + 1)
+    bcnt = hi - lo
+    ok = valid[..., None] & (bcnt[..., None] <= repeat_limit)
+    if prefix_shift == 0:  # exact buckets: entries == the queried code
+        hit_pos = _extract_span(tables["pos2d"], lo, H)
+        return hit_pos, (jnp.arange(H) < bcnt[..., None]) & ok
+    SCAN = max(2 * H, 16)
+    ec = _extract_span(tables["codes2d"], lo, SCAN)
+    epos = _extract_span(tables["pos2d"], lo, SCAN)
+    within = jnp.arange(SCAN) < bcnt[..., None]
+    m = within & (ec == codes[..., None].astype(ec.dtype))
+    anym = jnp.any(m, axis=-1)
+    fo = jnp.argmax(m, axis=-1)  # matches are contiguous (sorted bucket)
+    cnt = jnp.sum(m, axis=-1)
+    eposp = jnp.concatenate(
+        [epos, jnp.zeros(epos.shape[:-1] + (H,), epos.dtype)], axis=-1)
+    hit_pos = jnp.zeros(epos.shape[:-1] + (H,), epos.dtype)
+    for s in range(SCAN):
+        hit_pos = jnp.where((fo == s)[..., None], eposp[..., s : s + H],
+                            hit_pos)
+    hmask = (jnp.arange(H) < cnt[..., None]) & anym[..., None] & ok
+    return hit_pos, hmask
+
+
+def _align_one_strand(flat2d, flatlen, tables, reads, lengths,
+                      k: int, p: AlignParams, prefix_shift):
     B, L = reads.shape
-    M = sorted_codes.shape[0]
-    flatlen = flat.shape[0]
 
     codes, valid, offs = _seed_codes(reads, lengths, k, p.n_seeds)
-    lo = jnp.searchsorted(sorted_codes, codes, side="left")
-    hi = jnp.searchsorted(sorted_codes, codes, side="right")
-    cnt = hi - lo
     H = p.hits_per_seed
-    h = jnp.arange(H)[None, None, :]
-    hmask = (h < cnt[:, :, None]) & valid[:, :, None] & (cnt[:, :, None] <= p.repeat_limit)
-    hit_idx = jnp.clip(lo[:, :, None] + h, 0, M - 1)
-    hit_pos = sorted_pos[hit_idx]  # (B,S,H)
+    hit_pos, hmask = _seed_hits(tables, codes, valid, H, p.repeat_limit,
+                                prefix_shift)
     cand = hit_pos - offs[:, :, None].astype(hit_pos.dtype)
     cand = jnp.clip(cand, 0, flatlen - L - 1)
     C = p.n_seeds * H
     cand = cand.reshape(B, C)
     hmask = hmask.reshape(B, C)
 
-    sc = _score_candidates(flat, reads, cand, hmask, p.match, p.mismatch)
+    sc = _score_candidates(flat2d, reads, cand, hmask, p.match, p.mismatch)
     bi = jnp.argmax(sc["local"], axis=-1)
 
     def take(x):
@@ -158,13 +235,27 @@ def _align_one_strand(flat, sorted_codes, sorted_pos, reads, lengths, k: int,
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("k", "params"))
-def align_batch_device(flat, sorted_codes, sorted_pos, reads, lengths, k: int,
-                       params: AlignParams):
+def as_rows(flat: np.ndarray | jnp.ndarray, fill=None) -> np.ndarray:
+    """Pad a flat array to (rows+2, 128) for fast row gathers / span reads."""
+    flat = np.asarray(flat)
+    if fill is None:
+        fill = GAP_CODE if flat.dtype == np.int8 else 0
+    nrow = (len(flat) + 127) // 128 + 2
+    out = np.full(nrow * 128, fill, flat.dtype)
+    out[: len(flat)] = flat
+    return out.reshape(nrow, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "params", "prefix_shift"))
+def align_batch_device(flat2d, flatlen, tables, reads,
+                       lengths, k: int, params: AlignParams,
+                       prefix_shift=None):
     """Align a batch against both strands; returns per-read best alignment."""
-    fwd = _align_one_strand(flat, sorted_codes, sorted_pos, reads, lengths, k, params)
+    fwd = _align_one_strand(flat2d, flatlen, tables, reads,
+                            lengths, k, params, prefix_shift)
     rc_reads = _revcomp_batch(reads, lengths)
-    rev = _align_one_strand(flat, sorted_codes, sorted_pos, rc_reads, lengths, k, params)
+    rev = _align_one_strand(flat2d, flatlen, tables, rc_reads,
+                            lengths, k, params, prefix_shift)
 
     use_rev = rev["score"] > fwd["score"]
 
@@ -203,9 +294,16 @@ class Aligner:
             raise ValueError(
                 "flat genome exceeds int32 positions; shard contigs across hosts"
             )
-        self._flat = jnp.asarray(index.flat)
-        self._codes = jnp.asarray(index.sorted_codes.astype(np.int32))
-        self._pos = jnp.asarray(index.sorted_pos.astype(np.int32))
+        self._flat2d = jnp.asarray(as_rows(index.flat))
+        self._flatlen = jnp.int32(len(index.flat))
+        if index.bucket_starts is None:
+            index.build_buckets()
+        self._prefix_shift = 2 * (index.k - index.prefix_bases)
+        self._tables = dict(
+            starts2d=jnp.asarray(as_rows(index.bucket_starts)),
+            codes2d=jnp.asarray(as_rows(index.sorted_codes.astype(np.int32))),
+            pos2d=jnp.asarray(as_rows(index.sorted_pos.astype(np.int32))),
+        )
 
     def align(self, seq: np.ndarray, lengths: np.ndarray) -> dict[str, np.ndarray]:
         """Align all reads; returns numpy dict (padded batching internally)."""
@@ -222,9 +320,9 @@ class Aligner:
                 )
                 lens = np.concatenate([lens, np.zeros(padn, dtype=lens.dtype)])
             res = align_batch_device(
-                self._flat, self._codes, self._pos,
+                self._flat2d, self._flatlen, self._tables,
                 jnp.asarray(chunk), jnp.asarray(lens.astype(np.int32)),
-                self.index.k, self.params,
+                self.index.k, self.params, self._prefix_shift,
             )
             outs.append({kk: np.asarray(vv) for kk, vv in res.items()})
         if not outs:

@@ -30,6 +30,28 @@ class KmerIndex:
     sorted_codes: np.ndarray  # (M,) int64 k-mer codes, ascending
     sorted_pos: np.ndarray    # (M,) int64 padded-flat position of each k-mer
     pad: int
+    prefix_bases: int = 0         # p: bucket = first p bases of the code
+    bucket_starts: np.ndarray = None  # (4^p + 1,) int32 offsets into the table
+
+    def build_buckets(self) -> None:
+        """Direct-addressed prefix-bucket table over the sorted code array.
+
+        Binary search on device costs ~23 serial gather steps; a bucket
+        lookup is 2 row gathers.  p is sized for ~0.5 load factor, capped at
+        13 bases (a 268 MB table) — beyond that the in-bucket suffix scan
+        (core._seed_hits) caps recall per bucket, which repeat_limit would
+        mostly skip anyway.
+        """
+        m = max(len(self.sorted_codes), 1)
+        p = int(np.ceil(np.log(2.0 * m) / np.log(4.0)))
+        p = min(max(p, 6), 13, self.k)
+        nb = 4 ** p
+        prefix = (self.sorted_codes >> (2 * (self.k - p))).astype(np.int64)
+        counts = np.bincount(prefix, minlength=nb)
+        starts = np.zeros(nb + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        self.prefix_bases = p
+        self.bucket_starts = starts.astype(np.int32)
 
     @property
     def n_contigs(self) -> int:

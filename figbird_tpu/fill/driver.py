@@ -57,6 +57,7 @@ class FillResult:
     gap_strings: list       # np.int8 arrays (the filled gap content)
     gaptofill: np.ndarray   # per-gap skip counts
     stats: dict
+    placements: list = None  # per-gap [(read_idx, gap_pos, seq)] (draw trace)
 
 
 # ---------------------------------------------------------------- analysis
@@ -582,6 +583,7 @@ def fill_gaps(
     n_gaps = len(gaps)
     out_strings: list[np.ndarray] = [None] * n_gaps
     gaptofill = np.zeros(n_gaps, np.int64)
+    placements: list = [[] for _ in range(n_gaps)]
     stats = {"skipped": 0, "neg_merged": 0, "filled": 0, "scan_instances": 0}
 
     plans = plan_gaps(genome, gaps, bundles, partial_mode, partial_len,
@@ -722,8 +724,13 @@ def fill_gaps(
                                      orig_j, float(rpm))
             out_strings[gi] = s
             stats["filled"] += 1
+            acc = fout["accept"][ci]
+            pp = fout["pos"][ci]
+            seqs = (plan.bundle.p_seq if partial_mode else plan.bundle.u_seq)
+            placements[gi] = [(int(k), int(pp[k]), seqs[k])
+                              for k in range(len(seqs)) if acc[k]]
 
-    return FillResult(out_strings, gaptofill, stats)
+    return FillResult(out_strings, gaptofill, stats, placements)
 
 
 def _finish_unmapped(plan, best_len, cfg, fout, ci, res, sel, orig_j,

@@ -92,13 +92,7 @@ def compute_error_probs_gap(probs: jnp.ndarray, et: jnp.ndarray) -> jnp.ndarray:
     return b - corr
 
 
-def _windowed(K: jnp.ndarray, Wp: int) -> jnp.ndarray:
-    """K (W, L, 5) -> Kw (Wp, L, 5) with Kw[p,j,:] = K[p+j, j, :]."""
-    W, L, _ = K.shape
-    p = jnp.arange(Wp)[:, None]
-    j = jnp.arange(L)[None, :]
-    idx = jnp.minimum(p + j, W - 1)
-    return K[idx, j, :]
+from ..ops import band_score
 
 
 def _soft_K(probs, eprobs, e_pos, W):
@@ -136,19 +130,18 @@ def _hard_K(gap_string, e_match, e_mis, ln_et):
 def _fold_counts(cw: jnp.ndarray, W: int) -> jnp.ndarray:
     """cw (Wp, L, 5) weighted window counts -> counts (W, 5): counts[p+j] += cw[p,j].
 
-    Diagonal fold via an L-step shift-accumulate (cheap vs the matmuls).
+    Inverse skew trick (no roll loop): flatten cw^T (L, Wp) padded to row
+    length Wp+L, then re-reading with row length Wp+L-1 shifts row j right by
+    j, so column w of row j holds cw[w-j, j]; out-of-range diagonals land in
+    the zero padding.  One pad + reshape + sum instead of L rolls.
     """
     Wp, L, C = cw.shape
-    pad = jnp.zeros((W - Wp + L, L, C), cw.dtype)
-    cwp = jnp.concatenate([cw, pad], axis=0)  # (W+L, L, 5)
-
-    def body(j, acc):
-        shifted = jnp.roll(cwp[:, j, :], j, axis=0)[:W]
-        # positions w < j cannot receive p=w-j<0 contributions
-        mask = (jnp.arange(W) >= j)[:, None]
-        return acc + jnp.where(mask, shifted, 0.0)
-
-    return jax.lax.fori_loop(0, L, body, jnp.zeros((W, C), cw.dtype))
+    RL = Wp + L + 1  # row length; re-reading at RL-1 == W shifts row j by +j
+    At = cw.transpose(1, 0, 2)  # (L, Wp, 5)
+    Ap = jnp.concatenate([At, jnp.zeros((L, L + 1, C), cw.dtype)], axis=1)
+    flat = Ap.reshape(L * RL, C)
+    skew = flat[: L * (RL - 1)].reshape(L, RL - 1, C)
+    return skew[:, :W, :].sum(axis=0)
 
 
 def consensus_from_counts(counts, gap_zone, check, cov_thresh):
@@ -253,12 +246,8 @@ def _legal_unmapped(cfg: FillConfig, inst, model):
 
 
 def _score(oh_flat, K, Wp):
-    """(N, L*5) @ windowed-K -> (N, Wp) on the MXU."""
-    Kw = _windowed(K, Wp).reshape(Wp, -1)
-    return jax.lax.dot_general(
-        oh_flat, Kw, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    """(N, L*5) x banded-K -> (N, Wp) on the MXU (ops.band: Pallas on TPU)."""
+    return band_score(oh_flat, K, Wp)
 
 
 def _accumulate(weights, oh_count_flat, cfg):

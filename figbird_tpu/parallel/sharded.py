@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..align.core import AlignParams, _align_one_strand, _revcomp_batch
+from ..align.core import AlignParams, _align_one_strand, _revcomp_batch, as_rows
 from ..fill.em import FillConfig, em_partial_instance, em_unmapped_instance
 
 
@@ -33,10 +33,14 @@ def sharded_align(mesh: Mesh, flat, sorted_codes, sorted_pos, reads, lengths,
     so binary search stays valid per shard); reads shard along the reads axis.
     """
 
-    def local(flat_, codes_, pos_, reads_, lengths_):
-        fwd = _align_one_strand(flat_, codes_, pos_, reads_, lengths_, k, params)
+    def local(flat2d_, flatlen_, codes_, pos_, reads_, lengths_):
+        # code-range-sharded tables use the searchsorted fallback path
+        tables = dict(sorted_codes=codes_, sorted_pos=pos_)
+        fwd = _align_one_strand(flat2d_, flatlen_, tables, reads_,
+                                lengths_, k, params, None)
         rc = _revcomp_batch(reads_, lengths_)
-        rev = _align_one_strand(flat_, codes_, pos_, rc, lengths_, k, params)
+        rev = _align_one_strand(flat2d_, flatlen_, tables, rc,
+                                lengths_, k, params, None)
         use_rev = rev["score"] > fwd["score"]
         best = {kk: jnp.where(use_rev, rev[kk], fwd[kk])
                 for kk in ("score", "pos", "start", "end", "n_mis")}
@@ -58,12 +62,15 @@ def sharded_align(mesh: Mesh, flat, sorted_codes, sorted_pos, reads, lengths,
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P("genome"), P("genome"), P("reads", None), P("reads")),
+        in_specs=(P(), P(), P("genome"), P("genome"), P("reads", None),
+                  P("reads")),
         out_specs={kk: P("reads") for kk in
                    ("score", "pos", "start", "end", "n_mis", "strand", "second")},
         check_rep=False,
     )
-    return fn(flat, sorted_codes, sorted_pos, reads, lengths)
+    flat = jnp.asarray(flat)
+    return fn(jnp.asarray(as_rows(flat)), jnp.int32(flat.shape[0]),
+              sorted_codes, sorted_pos, reads, lengths)
 
 
 def sharded_fill(mesh: Mesh, cfg: FillConfig, insts, model,

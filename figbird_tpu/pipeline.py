@@ -240,7 +240,7 @@ class Pipeline:
         self.result.gap_history.append((gaps, res.gap_strings, res.gaptofill))
 
         if self.workdir:
-            self._write_artifacts(gaps, res, new_genome)
+            self._write_artifacts(gaps, res, new_genome, genome)
 
         stats = IterationStats(
             itr=self.itr, mode=mode, lib=lib_i, n_pairs=n_pairs,
@@ -251,11 +251,25 @@ class Pipeline:
         return stats
 
     # ------------------------------------------------------------------
-    def _write_artifacts(self, gaps, res, new_genome):
+    def _write_artifacts(self, gaps, res, new_genome, old_genome):
+        from .fill.draw import render_gap, write_draw_file
+
         wd = self.workdir
         with open(wd / "Temp" / "gapInfo.txt", "w") as fh:
             for g in gaps:
                 fh.write(f"{g.contig}\t{g.start}\t{g.length}\n")
+        if res.placements is not None:
+            recs = []
+            for i, (g, s) in enumerate(zip(gaps, res.gap_strings)):
+                pl = res.placements[i]
+                if not pl:
+                    continue
+                contig = old_genome.contigs[g.contig]
+                lf = contig[max(g.start - 30, 0) : g.start]
+                rf = contig[g.start + g.length : g.start + g.length + 30]
+                recs.append(render_gap(i, g, s, pl, lf, rf))
+            write_draw_file(
+                wd / "Individual_gaps" / f"alignment_{self.itr}.txt", recs)
         with open(wd / "Individual_gaps" / f"gapout_{self.itr}.txt", "w") as fh:
             for i, (g, s) in enumerate(zip(gaps, res.gap_strings)):
                 seq = decode(s) if len(s) else ""

@@ -163,6 +163,48 @@ class Triage:
         self._by_contig: dict[int, list[tuple[int, GapInfo]]] = {}
         for i, g in enumerate(gaps):
             self._by_contig.setdefault(g.contig, []).append((i, g))
+        # vectorised lookup keys: gaps are (contig, start)-sorted already
+        BIG = np.int64(1) << 40
+        self._BIG = BIG
+        self._gs_key = np.array([g.contig * BIG + g.start for g in gaps],
+                                np.int64)
+        self._ge_key = np.array(
+            [g.contig * BIG + g.start + g.length for g in gaps], np.int64)
+
+    def _checkpos2_vec(self, contig: np.ndarray, pos1: np.ndarray,
+                       rl: np.ndarray) -> np.ndarray:
+        """Vectorised _checkpos2: first gap with pos1 <= start < pos1+rl-1."""
+        key = contig.astype(np.int64) * self._BIG + pos1
+        idx = np.searchsorted(self._gs_key, key, side="left")
+        idxc = np.clip(idx, 0, max(len(self._gs_key) - 1, 0))
+        ok = (len(self._gs_key) > 0) & (idx < len(self._gs_key))
+        start_key = self._gs_key[idxc]
+        ok = ok & (start_key - (rl - 1) < key) & (start_key // self._BIG ==
+                                                  contig)
+        return np.where(ok, idxc, -1)
+
+    def _checkpos_frag_vec(self, contig: np.ndarray, pos1: np.ndarray,
+                           strand: np.ndarray) -> np.ndarray:
+        """Vectorised _gap_lookup_frag (first matching gap in scan order)."""
+        key = contig.astype(np.int64) * self._BIG + pos1
+        md = self.max_distance
+        n = len(self._gs_key)
+        out = np.full(len(key), -1, np.int64)
+        if n == 0:
+            return out
+        # strand 0: first gap with start > pos1 and start < pos1 + md
+        i0 = np.searchsorted(self._gs_key, key, side="right")
+        i0c = np.clip(i0, 0, n - 1)
+        ok0 = (i0 < n) & (self._gs_key[i0c] < key + md) & \
+              (self._gs_key[i0c] // self._BIG == contig)
+        # strand 1: first gap with end > pos1 - md and end < pos1
+        i1 = np.searchsorted(self._ge_key, key - md, side="right")
+        i1c = np.clip(i1, 0, n - 1)
+        ok1 = (i1 < n) & (self._ge_key[i1c] < key) & \
+              (self._ge_key[i1c] // self._BIG == contig)
+        out = np.where(strand == 0, np.where(ok0, i0c, -1),
+                       np.where(ok1, i1c, -1))
+        return out
 
     # -------------------------------------------------------------- unmapped
     def _check_pos(self, contig: int, pos1: int, strand: int, readlen: int) -> int:
@@ -205,31 +247,48 @@ class Triage:
         For jump libs (maxDistance>250) both-mapped discordant pairs are also
         used in both anchor directions (Preprocess.cpp:1202-1343).
         """
-        n = len(pt.insert)
         reads = (reads1, reads2)
-        for i in range(n):
-            oa = int(pt.one_anchored[i])
-            both = bool(pt.aligned[i, 0] and pt.aligned[i, 1])
-            if oa >= 0:
-                anchors = [(oa, 1 - oa)]
-            elif both and not pt.concordant[i] and self.max_distance > 250:
-                anchors = [(0, 1), (1, 0)]
-            else:
-                continue
+        oa = np.asarray(pt.one_anchored)
+        both = np.asarray(pt.aligned[:, 0]) & np.asarray(pt.aligned[:, 1])
+        conc = np.asarray(pt.concordant)
+
+        if self.max_distance <= 250:
+            # frag path, fully vectorised prefilter: only one-anchored pairs
+            sel = np.flatnonzero(oa >= 0)
+            if len(sel) == 0:
+                return
+            am = oa[sel]
+            contig = np.asarray(pt.contig)[sel, am]
+            pos1 = np.asarray(pt.pos)[sel, am]
+            strand = np.asarray(pt.strand)[sel, am]
+            gi = self._checkpos_frag_vec(contig, pos1, strand)
+            gi = np.where(contig >= 0, gi, -1)
+            for t in np.flatnonzero(gi >= 0):
+                i = int(sel[t])
+                c_m = 1 - int(am[t])
+                clen = int(reads[c_m].length[i])
+                seq = reads[c_m].seq[i, :clen]
+                if _seq_ok(seq):
+                    self._add_unmapped(int(gi[t]), int(pos1[t]),
+                                       int(strand[t]), seq)
+            return
+
+        # jump path: insert-geometry argmin over gaps — scalar, but only on
+        # the (small) candidate subset
+        for i in np.flatnonzero((oa >= 0) | (both & ~conc)):
+            i = int(i)
+            o = int(oa[i])
+            anchors = [(o, 1 - o)] if o >= 0 else [(0, 1), (1, 0)]
             for a_m, c_m in anchors:
                 contig = int(pt.contig[i, a_m])
                 if contig < 0:
                     continue
                 pos1 = int(pt.pos[i, a_m])
                 strand = int(pt.strand[i, a_m])
-                cand = reads[c_m]
-                clen = int(cand.length[i])
-                seq = cand.seq[i, :clen]
+                clen = int(reads[c_m].length[i])
+                seq = reads[c_m].seq[i, :clen]
                 if not _seq_ok(seq):
                     continue
-                # if candidate mate was mapped reversed, restore FASTQ orientation
-                if both and int(pt.strand[i, c_m]) == 1:
-                    pass  # our ReadBatch is always FASTQ orientation already
                 gi = self._check_pos(contig, pos1, strand, clen)
                 if gi >= 0:
                     self._add_unmapped(gi, pos1, strand, seq)
@@ -264,69 +323,87 @@ class Triage:
         """
         from ..dtypes import phred_to_error_prob
 
-        n = len(pt.insert)
         oriented = (oriented1, oriented2)
         reads = (reads1, reads2)
-        for i in range(n):
-            conc = bool(pt.concordant[i])
-            pair_imperfect = (
-                pt.clip_start[i].max() > 0 or pt.clip_end[i].max() > 0
-            )
-            for m in range(2):
-                if not pt.aligned[i, m]:
-                    continue
-                if conc and not pair_imperfect:
-                    continue  # perfect-cigar pairs skip partial collection
-                if not conc and int(pt.one_anchored[i]) != m:
-                    continue  # discordant: only the mapped mate (case 2)
-                contig = int(pt.contig[i, m])
-                pos1 = int(pt.pos[i, m])
-                strand = int(pt.strand[i, m])
-                rl = int(reads[m].length[i])
-                ref_pos = int(pt.pos[i, 1 - m]) if conc else -1
-                items = self._by_contig.get(contig, [])
-                sub = [g for _, g in items]
-                j = _checkpos2(sub, contig, pos1, rl)
-                gi = items[j][0] if j >= 0 else -1
-                seq = oriented[m][i, :rl]
-                qual = reads[m].qual
-                if qual is not None:
-                    q = qual[i, :rl]
-                    if strand == 1:
-                        q = q[::-1]
-                    qerr = phred_to_error_prob(q)
+        conc_v = np.asarray(pt.concordant)
+        oa_v = np.asarray(pt.one_anchored)
+        imperfect = (np.asarray(pt.clip_start).max(axis=1) > 0) | \
+                    (np.asarray(pt.clip_end).max(axis=1) > 0)
+        aligned_v = np.asarray(pt.aligned)
+        contig_v = np.asarray(pt.contig)
+        pos_v = np.asarray(pt.pos)
+
+        # vectorised prefilter: per (pair, mate) candidacy, then the two gap
+        # lookups (left overhang / right-clipped) — Python only touches hits
+        cand_rows = []
+        for m in range(2):
+            mask = aligned_v[:, m] & np.where(
+                conc_v, imperfect, oa_v == m)
+            sel = np.flatnonzero(mask)
+            if len(sel) == 0:
+                continue
+            rl_v = reads[m].length[sel].astype(np.int64)
+            gi_left = self._checkpos2_vec(contig_v[sel, m], pos_v[sel, m],
+                                          rl_v)
+            keep = gi_left >= 0
+            if self.use_right_clipped:
+                cs_v = np.asarray(pt.clip_start)[sel, m]
+                pos0 = pos_v[sel, m] - 1
+                key = contig_v[sel, m].astype(np.int64) * self._BIG + pos0
+                ng = len(self._ge_key)
+                i1 = np.searchsorted(self._ge_key, key, side="right") - 1
+                i1c = np.clip(i1, 0, max(ng - 1, 0))
+                ge = self._ge_key[i1c] - contig_v[sel, m].astype(np.int64) \
+                    * self._BIG
+                okr = (ng > 0) & (i1 >= 0) & \
+                      (self._ge_key[i1c] // self._BIG == contig_v[sel, m]) & \
+                      (ge <= pos0) & (pos0 <= ge + 3) & (pos0 - cs_v <= ge) & \
+                      (cs_v >= 3)
+                gi_right = np.where(okr, i1c, -1)
+                keep = keep | (gi_right >= 0)
+            else:
+                gi_right = np.full(len(sel), -1)
+            for t in np.flatnonzero(keep):
+                cand_rows.append((int(sel[t]), m, int(gi_left[t]),
+                                  int(gi_right[t])))
+        cand_rows.sort()  # reference scan order: by pair row, then mate
+
+        for i, m, gi, gi2 in cand_rows:
+            conc = bool(conc_v[i])
+            pos1 = int(pt.pos[i, m])
+            strand = int(pt.strand[i, m])
+            rl = int(reads[m].length[i])
+            ref_pos = int(pt.pos[i, 1 - m]) if conc else -1
+            seq = oriented[m][i, :rl]
+            if not _seq_ok(seq):
+                continue
+            qual = reads[m].qual
+            if qual is not None:
+                q = qual[i, :rl]
+                if strand == 1:
+                    q = q[::-1]
+                qerr = phred_to_error_prob(q)
+            else:
+                qerr = None
+            if gi >= 0:
+                g = self.gaps[gi]
+                # left-anchored overhang (writePartialSam pos<gap_s branch)
+                cs, ce = int(pt.clip_start[i, m]), int(pt.clip_end[i, m])
+                if cs > 0 and ce > 0:
+                    clipped_index = rl - ce - 1  # S-M-S
+                elif cs > 0:
+                    continue  # "Only S--M, so discard" (ref parity)
                 else:
-                    qerr = None
-                if gi >= 0 and _seq_ok(seq):
-                    g = self.gaps[gi]
-                    # left-anchored overhang (writePartialSam pos<gap_s branch)
-                    cs, ce = int(pt.clip_start[i, m]), int(pt.clip_end[i, m])
-                    if cs > 0 and ce > 0:
-                        clipped_index = rl - ce - 1  # S-M-S
-                    elif cs > 0:
-                        continue  # "Only S--M, so discard" (ref parity)
-                    else:
-                        clipped_index = g.start - pos1  # M... (1-based pos)
-                    match = 1 if strand == 0 else 4
-                    self._add_partial(gi, seq, clipped_index, match, pos1,
-                                      ref_pos, qerr)
-                elif self.use_right_clipped:
-                    # capability superset: left-clipped read anchored at right flank
-                    cs = int(pt.clip_start[i, m])
-                    if cs < 3:
-                        continue
-                    pos0 = pos1 - 1
-                    gi2 = -1
-                    for jj, g in items:
-                        ge = g.start + g.length
-                        if ge <= pos0 <= ge + 3 and pos0 - cs <= ge:
-                            gi2 = jj
-                            break
-                    if gi2 < 0 or not _seq_ok(seq):
-                        continue
-                    g = self.gaps[gi2]
-                    ge = g.start + g.length
-                    clipped_index = cs - (pos0 - ge)
-                    match = 2 if strand == 0 else 3
-                    self._add_partial(gi2, seq, clipped_index, match, pos1,
-                                      ref_pos, qerr)
+                    clipped_index = g.start - pos1  # M... (1-based pos)
+                match = 1 if strand == 0 else 4
+                self._add_partial(gi, seq, clipped_index, match, pos1,
+                                  ref_pos, qerr)
+            elif gi2 >= 0:
+                # capability superset: left-clipped read anchored at right flank
+                cs = int(pt.clip_start[i, m])
+                g = self.gaps[gi2]
+                ge = g.start + g.length
+                clipped_index = cs - ((pos1 - 1) - ge)
+                match = 2 if strand == 0 else 3
+                self._add_partial(gi2, seq, clipped_index, match, pos1,
+                                  ref_pos, qerr)

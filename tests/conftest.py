@@ -8,13 +8,18 @@ Must set XLA_FLAGS/JAX_PLATFORMS before jax initialises.
 import os
 
 # Force CPU: the shell env carries JAX_PLATFORMS=axon (remote TPU tunnel),
-# which would make every test pay remote-compile latency.
+# which would make every test pay remote-compile latency.  The axon plugin
+# ignores the env var, so also pin it through jax.config (effective).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 # note: device code is written int32-clean (k<=15 codes, <2Gb flat genomes);
 # we intentionally do NOT enable x64.
 

@@ -1,0 +1,55 @@
+"""Pallas band-score kernel vs the XLA reference implementation."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from figbird_tpu.ops.band import (
+    band_score_reference, _band_score_pallas)
+
+
+def _ref_numpy(oh, K, Wp):
+    R, LC = oh.shape
+    W, L, C = K.shape
+    out = np.zeros((R, Wp), np.float32)
+    Kf = np.asarray(K)
+    ohn = np.asarray(oh).reshape(R, L, C)
+    for p in range(Wp):
+        for j in range(L):
+            out[:, p] += ohn[:, j, :] @ Kf[p + j, j, :]
+    return out
+
+
+@pytest.mark.parametrize("R,W,L", [(8, 40, 12), (5, 70, 31)])
+def test_reference_matches_numpy(R, W, L):
+    rng = np.random.default_rng(0)
+    Wp = W - L
+    K = jnp.asarray(rng.normal(size=(W, L, 5)).astype(np.float32))
+    oh = jnp.asarray((rng.random((R, L * 5)) < 0.2).astype(np.float32))
+    got = np.asarray(band_score_reference(oh, K, Wp))
+    want = _ref_numpy(oh, K, Wp)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("R,W,L", [(8, 160, 12), (300, 400, 33)])
+def test_pallas_matches_reference(R, W, L):
+    rng = np.random.default_rng(1)
+    Wp = W - L
+    K = jnp.asarray(rng.normal(size=(W, L, 5)).astype(np.float32))
+    oh = jnp.asarray((rng.random((R, L * 5)) < 0.2).astype(np.float32))
+    want = np.asarray(band_score_reference(oh, K, Wp))
+    got = np.asarray(_band_score_pallas(oh, K, Wp))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_pallas_vmapped():
+    rng = np.random.default_rng(2)
+    B, R, W, L = 3, 16, 200, 25
+    Wp = W - L
+    K = jnp.asarray(rng.normal(size=(B, W, L, 5)).astype(np.float32))
+    oh = jnp.asarray((rng.random((B, R, L * 5)) < 0.2).astype(np.float32))
+    want = np.stack([np.asarray(band_score_reference(oh[b], K[b], Wp))
+                     for b in range(B)])
+    got = np.asarray(jax.vmap(lambda o, k: _band_score_pallas(o, k, Wp))(oh, K))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
