@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,6 +51,8 @@ class GapPlan:
     lengths: list = field(default_factory=list)
     side_flag: bool = False
     large_gap: bool = False
+    perfect_flag: int = 0    # checkMIM equivalent (Preprocess.cpp:885-925)
+    perfect_len: int = 0
 
 
 @dataclass
@@ -137,6 +140,41 @@ def _neg_gap_merge(plan: GapPlan, neg_overlap: int) -> int:
     return 0
 
 
+def _find_perfect_mim(plan: GapPlan, max_orig: int = 20,
+                      mism_tol: int = 1) -> tuple[int, int]:
+    """checkMIM equivalent (Preprocess.cpp:885-925 via 1360/1446/1691).
+
+    The reference spots bowtie2 ``xMyIzM`` alignments — a read matching the
+    left flank, carrying the true gap content as an insertion, then matching
+    the right flank — and records the implied gap length (i_len + 1) in
+    stat2.txt.  Our aligner is gapless, so the same read arrives as a clipped
+    partial; we detect the structure directly: a left-flank suffix inside the
+    read followed, after ``ilen`` inserted bases, by the right-flank prefix.
+    """
+    g = plan.gap
+    if g.length > max_orig:  # the EM bonus only applies to gaps <= 20
+        return 0, 0
+    lf, rf = plan.left_flank, plan.right_flank
+    a = min(len(lf), 15)
+    if a < 10 or len(rf) < 8:
+        return 0, 0
+    la = lf[-a:]
+    for s in plan.bundle.p_seq:
+        n = len(s)
+        for p in range(0, n - a - 8):
+            if int((s[p : p + a] != la).sum()) > mism_tol:
+                continue
+            end_l = p + a
+            for ilen in range(1, min(n - end_l - 7, 3 * max_orig)):
+                b = min(len(rf), n - end_l - ilen)
+                if b < 8:
+                    break
+                if int((s[end_l + ilen : end_l + ilen + b] != rf[:b]).sum()) \
+                        <= mism_tol:
+                    return 1, ilen + 1
+    return 0, 0
+
+
 def _find_frac(orig: int, partial_mode: bool, partial_len: int,
                mid_limitu: int = GAPTHRESH) -> tuple[float, float, bool]:
     """findFrac (6879-6906): length-range fractions + large-gap flag."""
@@ -185,6 +223,9 @@ def plan_gaps(genome: Genome, gaps: list[GapInfo], bundles: list[GapBundle],
             if plan.neg_merge > 0:
                 plans.append(plan)
                 continue
+
+        if partial_mode and b.n_partial:
+            plan.perfect_flag, plan.perfect_len = _find_perfect_mim(plan)
 
         if sl < 10:
             plan.side_flag = True
@@ -280,6 +321,8 @@ def _build_instances(genome: Genome, items: list[tuple[GapPlan, int]],
         arr["gap_len"][i] = glen
         arr["orig_gap"][i] = g.length
         arr["gap_start"][i] = g.start
+        arr["perfect_gap"][i] = plan.perfect_flag
+        arr["perfect_gaplen"][i] = plan.perfect_len
         # template: left flank chars at [WL-k, WL); gap zone = 4 (set via codes);
         # right flank at [WL+glen, ...)
         ls = max(g.start - cfg.WL, 0)
@@ -639,18 +682,22 @@ def fill_gaps(
                                "pos")}
     extras = {k: [] for k in ("discont", "ucoverf", "umaxleftf", "umaxrightf",
                               "region_perct", "saved_l", "saved_r")}
+    dev_outs = []
     for i0 in range(0, len(items), instance_batch):
         chunk = items[i0 : i0 + instance_batch]
         insts = _build_instances(genome, chunk, cfg)
-        out = fill_batch(cfg, insts, marr,
-                         finalize_flag=(not partial_mode) and any(
-                             p.large_gap for p, _ in chunk))
+        dev_outs.append(fill_batch(cfg, insts, marr,
+                        finalize_flag=(not partial_mode) and any(
+                            p.large_gap for p, _ in chunk)))
+    # one async device_get over all chunks (per-array D2H pays the full
+    # host<->TPU round-trip; see Aligner.align)
+    for out in jax.device_get(dev_outs):
         for k in results:
             if k in out:
-                results[k].append(np.asarray(out[k]))
+                results[k].append(out[k])
         for k in extras:
             if k in out:
-                extras[k].append(np.asarray(out[k]))
+                extras[k].append(out[k])
     res = {k: np.concatenate(v) for k, v in results.items() if v}
     ext = {k: np.concatenate(v) for k, v in extras.items() if v}
 
@@ -699,6 +746,7 @@ def fill_gaps(
                          ext.get("region_perct", np.zeros(1))[sel[best_j]]
                          if not partial_mode else 0.0))
 
+    fin_outs = []
     for i0 in range(0, len(fin_items), instance_batch):
         sl = slice(i0, i0 + instance_batch)
         chunk = fin_items[sl]
@@ -708,11 +756,15 @@ def fill_gaps(
             svl = jnp.asarray(np.array([a for a, _ in fin_saved_lr[sl]]))
             svr = jnp.asarray(np.array([b for _, b in fin_saved_lr[sl]]))
             sv = jnp.zeros((len(chunk), cfg.P), jnp.int8)
-            fout = finalize_batch(cfg, insts, marr, best, sv, svl, svr)
+            fin_outs.append(finalize_batch(cfg, insts, marr, best, sv, svl, svr))
         else:
             sv = jnp.asarray(np.stack(fin_saved[sl]).astype(np.int8))
-            fout = finalize_batch(cfg, insts, marr, best, sv)
-        fout = {k: np.asarray(v) for k, v in fout.items()}
+            fin_outs.append(finalize_batch(cfg, insts, marr, best, sv))
+    fin_outs = jax.device_get(fin_outs)
+
+    for i0 in range(0, len(fin_items), instance_batch):
+        chunk = fin_items[i0 : i0 + instance_batch]
+        fout = fin_outs[i0 // instance_batch]
 
         for ci, (plan, best_len) in enumerate(chunk):
             gi, best_j, orig_j, sel, rpm = fin_meta[i0 + ci]

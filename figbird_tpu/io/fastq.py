@@ -42,15 +42,20 @@ class ReadBatch:
         """
         n, L = self.seq.shape
         comp = COMPLEMENT[self.seq]
-        out = np.full_like(self.seq, GAP_CODE)
-        outq = None if self.qual is None else np.zeros_like(self.qual)
+        if n == 0 or np.all(self.length == L):
+            # uniform-length fast path (the overwhelmingly common case):
+            # a full-row reverse, no per-row gather
+            out = comp[:, ::-1].copy()
+            outq = None if self.qual is None else self.qual[:, ::-1].copy()
+            return ReadBatch(out, self.length.copy(), outq)
         # vectorised per-length reversal: build gather indices length-1-j clipped
-        j = np.arange(L)[None, :]
-        src = self.length[:, None] - 1 - j  # (n, L)
+        j = np.arange(L, dtype=np.int32)[None, :]
+        src = self.length.astype(np.int32)[:, None] - 1 - j  # (n, L)
         valid = src >= 0
         src_c = np.clip(src, 0, L - 1)
-        rows = np.arange(n)[:, None]
+        rows = np.arange(n, dtype=np.int32)[:, None]
         out = np.where(valid, comp[rows, src_c], GAP_CODE).astype(np.int8)
+        outq = None
         if self.qual is not None:
             outq = np.where(valid, self.qual[rows, src_c], 0).astype(self.qual.dtype)
         return ReadBatch(out, self.length.copy(), outq)

@@ -98,27 +98,36 @@ def collect_stats(
         ins = inserts[(inserts > 0) & (contig_len_of_read > input_mean)]
     st.discarded += int((ins > st.max_insert_size).sum())
     ins = ins[ins <= st.max_insert_size]
-    np.add.at(st.insert_counts, np.minimum(ins, st.max_insert_size - 1), 1)
+    st.insert_counts += np.bincount(
+        np.minimum(ins, st.max_insert_size - 1),
+        minlength=st.max_insert_size)[: st.max_insert_size]
 
     st.unique_mapped += n
-    np.add.at(st.read_lengths, np.clip(lengths - 1, 0, Lmax - 1), 1)
+    st.read_lengths += np.bincount(
+        np.clip(lengths - 1, 0, Lmax - 1), minlength=Lmax)[:Lmax]
 
-    j = np.arange(L)
     for i0 in range(0, n, chunk):
         sl = slice(i0, min(i0 + chunk, n))
         r = reads_oriented[sl]
         lens = lengths[sl]
-        valid = j[None, :] < lens[:, None]
-        # base composition over aligned seq (getLength, Figbird.cpp:255-275)
-        np.add.at(st.base_counts, r[valid], 1)
-        mm = mism[sl] & valid
+        # base composition over aligned seq (getLength, Figbird.cpp:255-275):
+        # count everything, then remove the N-padding tails (pad code == N)
+        bc = np.bincount(r.ravel() + 0, minlength=N_BASES)[:N_BASES]
+        bc[4] -= int((L - lens).sum())
+        st.base_counts += bc
+        # mismatches are sparse: extract coordinates once
+        mm_i, mm_j = np.nonzero(mism[sl])
+        keep = mm_j < lens[mm_i]
+        mm_i, mm_j = mm_i[keep], mm_j[keep]
         # substitution cycle: oriented j for fwd, length-1-j for rev
-        cyc = np.where(strand[sl, None] == 0, j[None, :], lens[:, None] - 1 - j)
+        cyc = np.where(strand[sl][mm_i] == 0, mm_j, lens[mm_i] - 1 - mm_j)
         cyc = np.clip(cyc, 0, Lmax - 1)
-        np.add.at(st.error_pos, cyc[mm], 1)
+        st.error_pos += np.bincount(cyc, minlength=Lmax)[:Lmax]
         # from (genome) -> to (read) codes at mismatches
-        win = flat_genome[window_start[sl, None] + j[None, :]]
-        np.add.at(st.error_types, (win[mm], r[mm]), 1)
+        win = flat_genome[window_start[sl][mm_i] + mm_j]
+        st.error_types += np.bincount(
+            win.astype(np.int64) * N_BASES + r[mm_i, mm_j],
+            minlength=N_BASES * N_BASES).reshape(N_BASES, N_BASES)
     return st
 
 
@@ -296,24 +305,29 @@ def alignment_error_log10(
     where c is the sequencing cycle of the mismatch.
     """
     n, L = reads_oriented.shape
-    j = np.arange(L)
-    valid = j[None, :] < lengths[:, None]
-    mm = mism & valid
-    cyc = np.where(strand[:, None] == 0, j[None, :], lengths[:, None] - 1 - j)
+    base = np.log10(
+        np.maximum(model.no_error_probs[np.clip(lengths - 1, 0, model.max_read_length - 1)], 1e-300)
+    )
+    # mismatches are sparse (<1% of positions): evaluate the per-event term
+    # only at (read, pos) mismatch coordinates instead of densely over (n, L)
+    ii, jj = np.nonzero(mism)
+    keep = jj < lengths[ii]
+    ii, jj = ii[keep], jj[keep]
+    cyc = np.where(strand[ii] == 0, jj, lengths[ii] - 1 - jj)
     cyc = np.clip(cyc, 0, model.max_read_length - 1)
+    fc = from_codes[ii, jj]
     denom = 1.0 - model.error_pos_dist - model.in_pos_dist - model.del_pos_dist
     term = (
         np.log10(model.error_pos_dist[cyc])
         - np.log10(np.maximum(denom[cyc], 1e-300))
-        + np.log10(model.base_error_rates[from_codes])
+        + np.log10(model.base_error_rates[fc])
         + np.log10(
-            np.maximum(model.error_type_probs[from_codes, reads_oriented], 1e-300)
+            np.maximum(model.error_type_probs[fc, reads_oriented[ii, jj]], 1e-300)
         )
     )
-    base = np.log10(
-        np.maximum(model.no_error_probs[np.clip(lengths - 1, 0, model.max_read_length - 1)], 1e-300)
-    )
-    return base + np.where(mm, term, 0.0).sum(axis=1)
+    out = base.astype(np.float64)
+    np.add.at(out, ii, term)
+    return out
 
 
 def compute_gap_prob_cutoff(

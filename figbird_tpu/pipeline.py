@@ -28,7 +28,6 @@ from pathlib import Path
 import numpy as np
 
 from .align import Aligner, AlignParams, build_index, build_pair_table
-from .align.core import _revcomp_batch
 from .config import INSERT_FRAC, FigbirdConfig
 from .dtypes import N, decode
 from .genome import Genome
@@ -73,9 +72,9 @@ class PipelineResult:
 
 
 def _oriented(batch: ReadBatch, align: dict) -> np.ndarray:
-    import jax.numpy as jnp
-
-    rc = np.asarray(_revcomp_batch(jnp.asarray(batch.seq), jnp.asarray(batch.length)))
+    # host-side numpy RC: a device round-trip here costs more in D2H transfer
+    # than the compute (the batch is (n, L) int8, tens of MB)
+    rc = batch.revcomp().seq
     return np.where(align["strand"][:, None] == 1, rc, batch.seq)
 
 

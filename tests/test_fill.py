@@ -171,3 +171,35 @@ def test_negative_gap_merge(model):
     assert res.stats["neg_merged"] == 1
     assert res.gaptofill[0] == ov
     assert len(res.gap_strings[0]) == 0
+
+
+def test_find_perfect_mim():
+    """checkMIM equivalent: a read = left flank + insert + right flank implies
+    the true gap length (Preprocess.cpp:885-925, gaplen = i_len + 1)."""
+    from figbird_tpu.fill.driver import GapPlan, _find_perfect_mim
+    from figbird_tpu.genome import GapInfo
+    from figbird_tpu.triage.assign import GapBundle
+
+    rng = np.random.default_rng(3)
+    lf = rng.integers(0, 4, 30, dtype=np.int8)
+    rf = rng.integers(0, 4, 30, dtype=np.int8)
+    gap = GapInfo(0, 100, 8)
+    b = GapBundle(gap)
+    insert = rng.integers(0, 4, 7, dtype=np.int8)  # true content, 7 bases
+    b.p_seq.append(np.concatenate([lf[-20:], insert, rf[:20]]))
+    plan = GapPlan(gap, b, lf, rf, 30)
+    flag, plen = _find_perfect_mim(plan)
+    assert flag == 1
+    assert plen == 8  # i_len + 1
+
+    # no structure -> no flag
+    b2 = GapBundle(gap)
+    b2.p_seq.append(rng.integers(0, 4, 60, dtype=np.int8))
+    plan2 = GapPlan(gap, b2, lf, rf, 30)
+    assert _find_perfect_mim(plan2) == (0, 0)
+
+    # large gaps are gated off
+    gap3 = GapInfo(0, 100, 40)
+    b3 = GapBundle(gap3)
+    b3.p_seq.append(np.concatenate([lf[-20:], insert, rf[:20]]))
+    assert _find_perfect_mim(GapPlan(gap3, b3, lf, rf, 30)) == (0, 0)
