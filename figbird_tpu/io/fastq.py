@@ -35,6 +35,13 @@ class ReadBatch:
     def max_len(self) -> int:
         return self.seq.shape[1]
 
+    def take(self, idx: np.ndarray) -> "ReadBatch":
+        """Row subset (boolean mask or integer indices) — the in-memory form
+        of the reference's read reduction (Preprocess.cpp reWriteReadset
+        1696-1731 writing ``*_reduced.fastq``)."""
+        return ReadBatch(self.seq[idx], self.length[idx],
+                         None if self.qual is None else self.qual[idx])
+
     def revcomp(self) -> "ReadBatch":
         """Reverse-complement every read in place of its own length.
 

@@ -112,7 +112,10 @@ def collect_stats(
         lens = lengths[sl]
         # base composition over aligned seq (getLength, Figbird.cpp:255-275):
         # count everything, then remove the N-padding tails (pad code == N)
-        bc = np.bincount(r.ravel() + 0, minlength=N_BASES)[:N_BASES]
+        # per-code count_nonzero: np.bincount casts the int8 block to intp
+        # element-by-element (~140ns/elt); five vectorised compares are ~30x
+        bc = np.array([np.count_nonzero(r == c) for c in range(N_BASES)],
+                      dtype=np.int64)
         bc[4] -= int((L - lens).sum())
         st.base_counts += bc
         # mismatches are sparse: extract coordinates once

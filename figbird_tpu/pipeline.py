@@ -64,6 +64,7 @@ class PipelineResult:
     genome: Genome
     iterations: list = field(default_factory=list)
     gap_history: list = field(default_factory=list)  # per-itr (gaps, strings)
+    combined: list = field(default_factory=list)  # CombinedGap per orig gap
 
     @property
     def fillmore(self) -> bool:
@@ -79,12 +80,13 @@ def _oriented(batch: ReadBatch, align: dict) -> np.ndarray:
 
 
 def _learn_model(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
-                 partial_len, input_mean=0.0) -> tuple[ErrorModel, int]:
+                 partial_len, input_mean=0.0,
+                 oriented=None) -> tuple[ErrorModel, int]:
     m = pt.model
     n_model = int(m.sum())
     if n_model == 0:
         return None, 0
-    o1, o2 = _oriented(r1, a1), _oriented(r2, a2)
+    o1, o2 = oriented if oriented else (_oriented(r1, a1), _oriented(r2, a2))
     reads = np.concatenate([o1[m], o2[m]])
     lens = np.concatenate([r1.length[m], r2.length[m]])
     wins = np.concatenate([a1["pos"][m], a2["pos"][m]]).astype(np.int64)
@@ -120,6 +122,7 @@ class Pipeline:
                  workdir: str | Path | None = None,
                  align_params: AlignParams = AlignParams(),
                  use_genome_reduction: bool = True,
+                 use_read_reduction: bool = True,
                  min_model_pairs: int = 500,
                  fill_kwargs: dict | None = None):
         cfg.validate()
@@ -138,6 +141,8 @@ class Pipeline:
         self.use_genome_reduction = use_genome_reduction
         self.min_model_pairs = min_model_pairs
         self.fill_kwargs = fill_kwargs or {}
+        self.use_read_reduction = use_read_reduction
+        self._reduced: set[int] = set()
         self.itr = 0
         self.saved_model: ErrorModel | None = None
         self.result = PipelineResult(genome)
@@ -158,6 +163,18 @@ class Pipeline:
         return idx, a1, a2, pt
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _reduction_keep(pt) -> np.ndarray:
+        """Read reduction keep-mask (Preprocess.cpp:2273-2302, reWriteReadset
+        1696-1731): later iterations only realign pairs that were discordant/
+        mixed or partially (clip-)aligned; perfect-cigar concordant pairs are
+        dropped (model learning then relies on the saved model, mirroring the
+        reference's myout_temp.sam fallback, RunFigbird.sh:287-300)."""
+        clipped = (pt.clip_start > 0) | (pt.clip_end > 0)
+        perfect = pt.concordant & ~clipped[:, 0] & ~clipped[:, 1]
+        return ~perfect
+
+    # ------------------------------------------------------------------
     def run_iteration(self, mode: str, lib_i: int) -> IterationStats:
         """One filling iteration; mode 'p' (partial) or 'u' (unmapped)."""
         self.itr += 1
@@ -176,10 +193,13 @@ class Pipeline:
         maxD1 = m_lib.avg_insert_size
         idx, a1, a2, pt = self._align_lib(genome, mi, max_insert=maxD1)
         partial_len = m_lib.max_read_length
+        r1, r2 = self.libs[mi]
+        o1, o2 = _oriented(r1, a1), _oriented(r2, a2)
         model, n_model = _learn_model(
-            idx, pt, a1, a2, *self.libs[mi], genome.lengths,
+            idx, pt, a1, a2, r1, r2, genome.lengths,
             partial_flag=(mode == "p"), partial_len=partial_len,
-            input_mean=(m_lib.avg_insert_size if cfgp.set_inputmean else 0.0))
+            input_mean=(m_lib.avg_insert_size if cfgp.set_inputmean else 0.0),
+            oriented=(o1, o2))
         if model is None or n_model < self.min_model_pairs:
             model = self.saved_model
             if model is None:
@@ -187,13 +207,14 @@ class Pipeline:
         else:
             self.saved_model = model
 
-        r1, r2 = self.libs[mi]
-        o1, o2 = _oriented(r1, a1), _oriented(r2, a2)
         tri = Triage(gaps, max_distance=maxD1,
                      read_mean=m_lib.avg_insert_size, is_jump=False)
         tri.collect_partial(pt, r1, r2, o1, o2)
         bundles = tri.bundles
         n_pairs = len(r1)
+        reductions: dict[int, np.ndarray] = {}
+        if self.use_read_reduction and mi not in self._reduced:
+            reductions[mi] = self._reduction_keep(pt)
 
         # --- unmapped pass ---------------------------------------------------
         if mode == "u":
@@ -223,6 +244,9 @@ class Pipeline:
             # merge unmapped bundles back into the full-genome gap list
             for b2_, b in zip(tri2.bundles, bundles):
                 b.u_seq, b.u_pos, b.u_rev = b2_.u_seq, b2_.u_pos, b2_.u_rev
+            if (self.use_read_reduction and lib_i != mi
+                    and lib_i not in self._reduced):
+                reductions[lib_i] = self._reduction_keep(pt2)
 
         # --- fill + splice ---------------------------------------------------
         res = fill_gaps(
@@ -237,6 +261,11 @@ class Pipeline:
         self.genome = new_genome
         self.result.genome = new_genome
         self.result.gap_history.append((gaps, res.gap_strings, res.gaptofill))
+
+        for i, keep in reductions.items():
+            ra, rb = self.libs[i]
+            self.libs[i] = (ra.take(keep), rb.take(keep))
+            self._reduced.add(i)
 
         if self.workdir:
             self._write_artifacts(gaps, res, new_genome, genome)
@@ -331,6 +360,19 @@ class Pipeline:
         for mode, lib_i in seq:
             if not do(mode, lib_i):
                 break
+
+        # final combine + copy (RunFigbird.sh:777-781, CombineGaps.cpp)
+        from .combine import combine_gap_history, write_individual_gaps
+
+        self.result.combined = combine_gap_history(self.result.gap_history)
+        if self.workdir:
+            write_individual_gaps(self.workdir / "Individual_gaps.txt",
+                                  self.result.combined)
+            with open(self.workdir / "Temp" / "combined_gapstring.txt", "w") as fh:
+                for i, cg in enumerate(self.result.combined):
+                    fh.write(f"{i}\t{len(cg.seq)}\t{decode(cg.seq)}\n")
+            write_fasta(self.workdir / "FilledScaffolds_final.fa",
+                        self.genome.to_fasta())
         return self.result
 
 
