@@ -286,13 +286,31 @@ def align_batch_device(flat2d, flatlen, tables, reads,
 
 
 class Aligner:
-    """Host-facing aligner: holds device copies of the index and batches reads."""
+    """Host-facing aligner: holds device copies of the index and batches reads.
+
+    ``two_tier=True`` runs a cheap seeding pass (fewer seeds/hits, ~4x less
+    candidate-scoring work) over all reads first, then re-aligns only the
+    reads it could not settle confidently — unaligned, non-unique, or scoring
+    below the <=3-mismatch full-length bar (clipped gap-edge reads always land
+    here, so Figbird's fill candidates all get the full treatment).  On
+    Illumina-like error rates the escalation set is a few percent of reads.
+    """
 
     def __init__(self, index: KmerIndex, params: AlignParams = AlignParams(),
-                 batch_size: int = 8192):
+                 batch_size: int = 8192, two_tier: bool = True,
+                 cheap_params: AlignParams | None = None):
         self.index = index
         self.params = params
         self.batch_size = batch_size
+        self.two_tier = two_tier
+        self.cheap_params = cheap_params or AlignParams(
+            n_seeds=min(3, params.n_seeds),
+            hits_per_seed=min(4, params.hits_per_seed),
+            repeat_limit=params.repeat_limit,
+            match=params.match, mismatch=params.mismatch,
+            min_score_const=params.min_score_const,
+            min_score_log=params.min_score_log,
+        )
         if index.k > 15:
             raise ValueError("device aligner requires k <= 15 (int32 k-mer codes)")
         if len(index.flat) >= 2**31:
@@ -310,8 +328,9 @@ class Aligner:
             pos2d=jnp.asarray(as_rows(index.sorted_pos.astype(np.int32))),
         )
 
-    def align(self, seq: np.ndarray, lengths: np.ndarray) -> dict[str, np.ndarray]:
-        """Align all reads; returns numpy dict (padded batching internally).
+    def _align_pass(self, seq: np.ndarray, lengths: np.ndarray,
+                    params: AlignParams) -> dict[str, np.ndarray]:
+        """One full-batch alignment pass with the given params.
 
         Dispatch is fully asynchronous: per-batch results stay on device until
         every batch has been queued, so XLA pipelines compute with host prep
@@ -332,7 +351,7 @@ class Aligner:
             res = align_batch_device(
                 self._flat2d, self._flatlen, self._tables,
                 jnp.asarray(chunk), jnp.asarray(lens.astype(np.int32)),
-                self.index.k, self.params, self._prefix_shift,
+                self.index.k, params, self._prefix_shift,
             )
             outs.append(res)  # device arrays; do NOT sync here
         if not outs:
@@ -345,3 +364,25 @@ class Aligner:
         cat["mism"] = np.unpackbits(
             cat.pop("mism_packed"), axis=1, count=L).astype(bool)
         return cat
+
+    def align(self, seq: np.ndarray, lengths: np.ndarray) -> dict[str, np.ndarray]:
+        """Align all reads; returns numpy dict (padded batching internally)."""
+        p = self.params
+        if (not self.two_tier
+                or (self.cheap_params.n_seeds >= p.n_seeds
+                    and self.cheap_params.hits_per_seed >= p.hits_per_seed)):
+            return self._align_pass(seq, lengths, p)
+        out = self._align_pass(seq, lengths, self.cheap_params)
+        if not out:
+            return out
+        # confident = unique full-length alignment with <=3 mismatches' slack;
+        # everything else (clipped, unaligned, ambiguous) gets the full pass
+        slack = 3 * (p.match - p.mismatch)
+        confident = (out["aligned"] & out["unique"]
+                     & (out["score"] >= p.match * lengths.astype(np.int64) - slack))
+        rows = np.flatnonzero(~confident)
+        if rows.size:
+            full = self._align_pass(seq[rows], lengths[rows], p)
+            for kk, v in full.items():
+                out[kk][rows] = v
+        return out

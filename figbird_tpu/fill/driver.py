@@ -621,6 +621,7 @@ def fill_gaps(
     em_iters_unmapped: int = 48,
     instance_batch: int = 64,
     max_scan_lengths: int = 160,
+    scan_block: int = 16,
 ) -> FillResult:
     """Fill all gaps for one iteration (one FillGaps.cpp run equivalent)."""
     n_gaps = len(gaps)
@@ -672,34 +673,100 @@ def fill_gaps(
     marr = _model_arrays(model, L)
 
     # ---- device scan over (gap, length) instances ------------------------
+    # Block-lazy scan: the reference's fillGap evaluates candidate lengths in
+    # order and early-exits on a likelihood plateau (6398-6478), so most gaps
+    # only ever look at a prefix of their length range.  Each round evaluates
+    # the next ``scan_block`` lengths of every unfinished gap, then replays
+    # the reference's exit logic on the accumulated prefix — identical
+    # results to a full scan at a fraction of the device work.
     # (sorted so large-gap instances form contiguous chunks: the finalize-mode
     #  EM extras are a static compile flag, fillGap 6208-6211)
     active = sorted(active, key=lambda gi: plans[gi].large_gap)
-    items = [(plans[gi], le) for gi in active for le in plans[gi].lengths]
-    owner = [gi for gi in active for _ in plans[gi].lengths]
-    stats["scan_instances"] = len(items)
-    results = {k: [] for k in ("likelihood", "valid", "consensus", "accept",
-                               "pos")}
-    extras = {k: [] for k in ("discont", "ucoverf", "umaxleftf", "umaxrightf",
-                              "region_perct", "saved_l", "saved_r")}
-    dev_outs = []
-    for i0 in range(0, len(items), instance_batch):
-        chunk = items[i0 : i0 + instance_batch]
-        insts = _build_instances(genome, chunk, cfg)
-        dev_outs.append(fill_batch(cfg, insts, marr,
-                        finalize_flag=(not partial_mode) and any(
-                            p.large_gap for p, _ in chunk)))
-    # one async device_get over all chunks (per-array D2H pays the full
-    # host<->TPU round-trip; see Aligner.align)
-    for out in jax.device_get(dev_outs):
-        for k in results:
-            if k in out:
-                results[k].append(out[k])
-        for k in extras:
-            if k in out:
-                extras[k].append(out[k])
-    res = {k: np.concatenate(v) for k, v in results.items() if v}
-    ext = {k: np.concatenate(v) for k, v in extras.items() if v}
+    RES_KEYS = ("likelihood", "valid", "consensus", "accept", "pos")
+    EXT_KEYS = ("discont", "ucoverf", "umaxleftf", "umaxrightf",
+                "region_perct", "saved_l", "saved_r")
+    acc = {gi: {k: [] for k in RES_KEYS + EXT_KEYS} for gi in active}
+    evl = {gi: [] for gi in active}  # lengths evaluated, in order
+    nxt = {gi: 0 for gi in active}
+    done = {gi: False for gi in active}
+    replayed = {}
+
+    def _dispatch(round_items, round_owner):
+        dev_outs = []
+        for i0 in range(0, len(round_items), instance_batch):
+            chunk = round_items[i0 : i0 + instance_batch]
+            insts = _build_instances(genome, chunk, cfg)
+            dev_outs.append(fill_batch(cfg, insts, marr,
+                            finalize_flag=(not partial_mode) and any(
+                                p.large_gap for p, _ in chunk)))
+        # one async device_get over all chunks (per-array D2H pays the full
+        # host<->TPU round-trip; see Aligner.align)
+        at = 0
+        for i0, out in zip(range(0, len(round_items), instance_batch),
+                           jax.device_get(dev_outs)):
+            m = len(round_items[i0 : i0 + instance_batch])
+            for ci in range(m):
+                gi = round_owner[at + ci]
+                evl[gi].append(round_items[at + ci][1])
+                for k in RES_KEYS + EXT_KEYS:
+                    if k in out:
+                        acc[gi][k].append(out[k][ci])
+            at += m
+        stats["scan_instances"] += len(round_items)
+
+    def _replay_gap(gi):
+        plan = plans[gi]
+        a = acc[gi]
+        prefix = len(a["likelihood"])
+        lik = np.asarray(a["likelihood"])
+        valid = np.asarray(a["valid"])
+        gext = None
+        if not partial_mode:
+            edge = (np.asarray(a["ucoverf"]) | np.asarray(a["umaxleftf"])
+                    | np.asarray(a["umaxrightf"]))
+            gext = {"edge": edge, "discont": np.asarray(a["discont"])}
+        best_j, n_eval, varied = _replay_scan(
+            plan.lengths[:prefix], lik, valid, plan.gap.length, partial_mode,
+            gext)
+        return best_j, n_eval, varied, prefix
+
+    while True:
+        round_items, round_owner = [], []
+        for gi in active:
+            if done[gi]:
+                continue
+            plan = plans[gi]
+            block = plan.lengths[nxt[gi] : nxt[gi] + scan_block]
+            round_items += [(plan, le) for le in block]
+            round_owner += [gi] * len(block)
+            nxt[gi] += len(block)
+        if not round_items:
+            break
+        _dispatch(round_items, round_owner)
+        for gi in dict.fromkeys(round_owner):
+            best_j, n_eval, varied, prefix = _replay_gap(gi)
+            if n_eval < prefix or nxt[gi] >= len(plans[gi].lengths):
+                done[gi] = True
+                replayed[gi] = (best_j, n_eval, varied)
+
+    # the original length is needed whenever a guard falls back to it
+    # (fillGap re-runs it when the scan stopped short, 6449-6477); evaluate
+    # it in one extra round for gaps whose scan exited before reaching it
+    extra_items, extra_owner = [], []
+    orig_eval_j = {}
+    for gi in active:
+        plan = plans[gi]
+        oj = plan.lengths.index(plan.gap.length)
+        if oj < len(acc[gi]["likelihood"]):
+            orig_eval_j[gi] = oj
+        else:
+            orig_eval_j[gi] = None  # filled after the extra round
+            extra_items.append((plan, plan.gap.length))
+            extra_owner.append(gi)
+    if extra_items:
+        _dispatch(extra_items, extra_owner)
+        for gi in extra_owner:
+            orig_eval_j[gi] = len(acc[gi]["likelihood"]) - 1
 
     # ---- per-gap decision + finalize ------------------------------------
     fin_items = []
@@ -707,22 +774,15 @@ def fill_gaps(
     fin_saved = []
     fin_saved_lr = []
     fin_meta = []
-    owner_arr = np.asarray(owner)
     for gi in active:
         plan = plans[gi]
-        sel = np.flatnonzero(owner_arr == gi)
-        lengths = plan.lengths
-        lik = res["likelihood"][sel]
-        valid = res["valid"][sel]
-        gext = None
-        if not partial_mode:
-            edge = (ext["ucoverf"][sel] | ext["umaxleftf"][sel]
-                    | ext["umaxrightf"][sel])
-            gext = {"edge": edge, "discont": ext["discont"][sel]}
-        best_j, n_eval, varied = _replay_scan(
-            lengths, lik, valid, plan.gap.length, partial_mode, gext)
+        res = {k: np.asarray(acc[gi][k]) for k in RES_KEYS}
+        ext = {k: np.asarray(acc[gi][k]) for k in EXT_KEYS if acc[gi][k]}
+        sel = np.arange(len(res["likelihood"]))
+        valid = res["valid"]
+        best_j, n_eval, varied = replayed[gi]
 
-        orig_j = lengths.index(plan.gap.length)
+        orig_j = orig_eval_j[gi]
         if not partial_mode:
             # small-gap read-count probe (checkGapReads 6121-6153)
             if (plan.gap.length <= GAPTHRESH and not plan.large_gap
@@ -734,7 +794,7 @@ def fill_gaps(
             if valid[best_j] == 0:
                 best_j = orig_j
 
-        best_len = lengths[best_j]
+        best_len = evl[gi][best_j]
         bs = res["consensus"][sel[best_j]][:cfg.max_gap_len].copy()
         fin_items.append((plan, best_len))
         fin_best.append(bs)
@@ -742,7 +802,7 @@ def fill_gaps(
         if partial_mode:
             fin_saved_lr.append((ext["saved_l"][sel[best_j]],
                                  ext["saved_r"][sel[best_j]]))
-        fin_meta.append((gi, best_j, orig_j, sel,
+        fin_meta.append((gi, best_j, orig_j, sel, res,
                          ext.get("region_perct", np.zeros(1))[sel[best_j]]
                          if not partial_mode else 0.0))
 
@@ -767,20 +827,20 @@ def fill_gaps(
         fout = fin_outs[i0 // instance_batch]
 
         for ci, (plan, best_len) in enumerate(chunk):
-            gi, best_j, orig_j, sel, rpm = fin_meta[i0 + ci]
+            gi, best_j, orig_j, sel, gres, rpm = fin_meta[i0 + ci]
             if partial_mode:
-                s = _finish_partial(plan, best_len, cfg, fout, ci, res, sel,
+                s = _finish_partial(plan, best_len, cfg, fout, ci, gres, sel,
                                     orig_j)
             else:
-                s = _finish_unmapped(plan, best_len, cfg, fout, ci, res, sel,
+                s = _finish_unmapped(plan, best_len, cfg, fout, ci, gres, sel,
                                      orig_j, float(rpm))
             out_strings[gi] = s
             stats["filled"] += 1
-            acc = fout["accept"][ci]
+            facc = fout["accept"][ci]
             pp = fout["pos"][ci]
             seqs = (plan.bundle.p_seq if partial_mode else plan.bundle.u_seq)
             placements[gi] = [(int(k), int(pp[k]), seqs[k])
-                              for k in range(len(seqs)) if acc[k]]
+                              for k in range(len(seqs)) if facc[k]]
 
     return FillResult(out_strings, gaptofill, stats, placements)
 

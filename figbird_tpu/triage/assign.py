@@ -315,11 +315,14 @@ class Triage:
         )
 
     def collect_partial(self, pt: PairTable, reads1: ReadBatch, reads2: ReadBatch,
-                        oriented1: np.ndarray, oriented2: np.ndarray) -> None:
+                        oriented1: np.ndarray | None = None,
+                        oriented2: np.ndarray | None = None) -> None:
         """Partial pass (samflag==1): clipped/overhanging mates -> partial bundles.
 
         ``oriented{1,2}`` are the reads in reference orientation (RC'd when the
         alignment is on the reverse strand) — the SAM SEQ field equivalent.
+        When omitted, candidate rows (a small subset) are oriented on the fly,
+        which avoids materialising full-batch RC copies.
         """
         from ..dtypes import phred_to_error_prob
 
@@ -374,7 +377,11 @@ class Triage:
             strand = int(pt.strand[i, m])
             rl = int(reads[m].length[i])
             ref_pos = int(pt.pos[i, 1 - m]) if conc else -1
-            seq = oriented[m][i, :rl]
+            if oriented[m] is not None:
+                seq = oriented[m][i, :rl]
+            else:
+                raw = reads[m].seq[i, :rl]
+                seq = revcomp(raw) if strand == 1 else raw
             if not _seq_ok(seq):
                 continue
             qual = reads[m].qual

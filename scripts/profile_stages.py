@@ -12,7 +12,7 @@ import jax
 from figbird_tpu.simulate import SimConfig, simulate
 from figbird_tpu.align import Aligner, AlignParams, build_index, build_pair_table
 from figbird_tpu.config import FigbirdConfig, Parameters, ReadLibrary
-from figbird_tpu.pipeline import Pipeline, _learn_model, _oriented
+from figbird_tpu.pipeline import Pipeline, _learn_model
 from figbird_tpu.triage import Triage
 from figbird_tpu.fill import fill_gaps
 
@@ -56,9 +56,8 @@ print(f"# model learn {time.time()-t0:.1f}s ({n_model} pairs)")
 
 gaps = sim.draft.find_gaps()
 t0 = time.time()
-o1, o2 = _oriented(r1, a1), _oriented(r2, a2)
 tri = Triage(gaps, max_distance=200, read_mean=200, is_jump=False)
-tri.collect_partial(pt, r1, r2, o1, o2)
+tri.collect_partial(pt, r1, r2)
 print(f"# triage {time.time()-t0:.1f}s "
       f"(partial reads: {sum(b.n_partial for b in tri.bundles)})")
 
