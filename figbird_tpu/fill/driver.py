@@ -30,7 +30,8 @@ from ..dtypes import GAP_CODE, N
 from ..genome import GapInfo, Genome
 from ..model.error_model import ErrorModel
 from ..triage.assign import GapBundle
-from .em import LN10, FillConfig, fill_batch, finalize_batch
+from .em import (LN10, FillConfig, fill_batch, fill_batch_gathered,
+                 finalize_batch, finalize_batch_gathered)
 
 SIDE_LIMIT = 30
 GAPTHRESH = 400          # FillGaps.cpp:22 (mid_limitu)
@@ -364,7 +365,9 @@ def _build_instances(genome: Genome, items: list[tuple[GapPlan, int]],
 def _replay_scan(lengths, lik, valid, orig, partial_mode, extras=None):
     """Replay fillGap's sequential plateau/early-exit logic (6398-6478).
 
-    Returns (best_index, evaluated_count, used_read_varied).
+    Returns (best_index, evaluated_count, used_read_varied, exited) — exited
+    is True when a break fired (the gap needs no further candidate lengths,
+    even if the prefix boundary coincides with the break point).
     """
     same_thresh = PARTIAL_SAME if partial_mode else JUMP_SAME
     best_i = 0
@@ -376,6 +379,7 @@ def _replay_scan(lengths, lik, valid, orig, partial_mode, extras=None):
     prev_best = -1
     prev_u = -1
     n_eval = 0
+    exited = False
     for j, (le, lk, vc) in enumerate(zip(lengths, lik, valid)):
         n_eval = j + 1
         if lk > best_lik:
@@ -389,6 +393,7 @@ def _replay_scan(lengths, lik, valid, orig, partial_mode, extras=None):
         same = same + 1 if diff <= 0.9 else 0
         prev_lik = lk
         if same == same_thresh:
+            exited = True
             break
         if not partial_mode and extras is not None:
             curr_u = vc
@@ -398,21 +403,24 @@ def _replay_scan(lengths, lik, valid, orig, partial_mode, extras=None):
                 prev_best = best_i
                 sec_same = 0
             if sec_same >= 2 * same_thresh:
+                exited = True
                 break
             if orig <= 30:
                 fl = extras["edge"][j]
                 sec_same2 = 0 if fl else sec_same2 + 1
                 if sec_same2 >= int(1.5 * same_thresh):
+                    exited = True
                     break
             if extras["discont"][j] and vc < 5:
                 stuck += 1
             else:
                 stuck = 0
             if stuck > 3 * same_thresh:
+                exited = True
                 break
     used = np.asarray(valid[:n_eval])
     varied = bool(len(used) > 1 and np.any(used != used[0]))
-    return best_i, n_eval, varied
+    return best_i, n_eval, varied, exited
 
 
 # ---------------------------------------------------------------- host guards
@@ -609,6 +617,100 @@ def _round_up(x, mults=(8, 16, 32, 64, 128, 256, 512, 1024, 2048, 3072)):
     return x
 
 
+# Quantized shape buckets: every (window, read-count) combination maps to one
+# of a small fixed set of compiled programs, so compiles are shared across
+# gaps, iterations and runs (persistent cache).  Replaces FillGaps.cpp's
+# size-aware thread partition (456-649) — here "load balancing" is making
+# every gap pay only its own bucket's padded shape.
+GAP_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+COUNT_BUCKETS = (8, 32, 128, 512, 1024, 3072)
+
+
+def _quant(x: int, buckets) -> int:
+    for b in buckets:
+        if x <= b:
+            return b
+    return x
+
+
+def _build_gap_arrays(genome: Genome, plans_sub: list[GapPlan],
+                      cfg: FillConfig) -> dict:
+    """Per-GAP padded arrays (built & transferred once per bucket).
+
+    The template halves (``left_win``/``right_win``) are stored separately;
+    the per-candidate-length window is assembled on device
+    (:func:`..fill.em.build_tmpl`), so candidate lengths cost no host work
+    and no H2D beyond two int32 vectors.
+    """
+    G = len(plans_sub)
+    L = cfg.L
+    RW = cfg.max_gap_len + L
+    arr = dict(
+        orig_gap=np.zeros(G, np.int32), gap_start=np.zeros(G, np.int32),
+        perfect_gap=np.zeros(G, np.int32), perfect_gaplen=np.zeros(G, np.int32),
+        left_win=np.full((G, cfg.WL), 5, np.int8),
+        right_win=np.full((G, RW), 5, np.int8),
+        ur=np.full((G, cfg.R, L), GAP_CODE, np.int8),
+        u_len=np.zeros((G, cfg.R), np.int32),
+        u_pos=np.zeros((G, cfg.R), np.int32),
+        u_rev=np.zeros((G, cfg.R), np.int8),
+        u_valid=np.zeros((G, cfg.R), bool),
+        pr=np.full((G, cfg.P, L), GAP_CODE, np.int8),
+        p_len=np.zeros((G, cfg.P), np.int32),
+        p_clip=np.zeros((G, cfg.P), np.int32),
+        p_match=np.ones((G, cfg.P), np.int32),
+        p_pos=np.zeros((G, cfg.P), np.int32),
+        p_refpos=np.full((G, cfg.P), -1, np.int32),
+        p_valid=np.zeros((G, cfg.P), bool),
+        p_qerr=np.zeros((G, cfg.P, L), np.float32),
+    )
+    for i, plan in enumerate(plans_sub):
+        g = plan.gap
+        contig = genome.contigs[g.contig]
+        arr["orig_gap"][i] = g.length
+        arr["gap_start"][i] = g.start
+        arr["perfect_gap"][i] = plan.perfect_flag
+        arr["perfect_gaplen"][i] = plan.perfect_len
+        ls = max(g.start - cfg.WL, 0)
+        lchars = contig[ls : g.start]
+        arr["left_win"][i, cfg.WL - len(lchars) :] = lchars
+        rs = g.start + g.length
+        rchars = contig[rs : rs + RW]
+        arr["right_win"][i, : len(rchars)] = rchars
+
+        b = plan.bundle
+        if cfg.unmapped_mode and b.n_unmapped:
+            seq, lens = _pad_reads(b.u_seq, L, cfg.R)
+            n = min(b.n_unmapped, cfg.R)
+            arr["ur"][i] = seq
+            arr["u_len"][i] = lens
+            arr["u_pos"][i, :n] = np.asarray(b.u_pos[:n], np.int32)
+            arr["u_rev"][i, :n] = np.asarray(b.u_rev[:n], np.int8)
+            arr["u_valid"][i, :n] = True
+        if b.n_partial:
+            seq, lens = _pad_reads(b.p_seq, L, cfg.P)
+            n = min(b.n_partial, cfg.P)
+            arr["pr"][i] = seq
+            arr["p_len"][i] = lens
+            arr["p_clip"][i, :n] = np.asarray(b.p_clip[:n], np.int32)
+            arr["p_match"][i, :n] = np.asarray(b.p_match[:n], np.int32)
+            arr["p_pos"][i, :n] = np.asarray(b.p_pos[:n], np.int32)
+            arr["p_refpos"][i, :n] = np.asarray(b.p_refpos[:n], np.int32)
+            arr["p_valid"][i, :n] = True
+            for k in range(n):
+                q = b.p_qual[k]
+                arr["p_qerr"][i, k, : min(len(q), L)] = q[:L]
+    return {k: jnp.asarray(v) for k, v in arr.items()}
+
+
+def _probe_lengths(orig: int) -> list[int]:
+    """checkGapReads probe grid (Figbird.cpp:6121-6153)."""
+    if orig < 30:
+        step = 10 if orig < 15 else 20
+        return list(range(0, 80, step))
+    return [orig // 2, orig, 2 * orig, 3 * orig]
+
+
 def fill_gaps(
     genome: Genome,
     gaps: list[GapInfo],
@@ -622,13 +724,15 @@ def fill_gaps(
     instance_batch: int = 64,
     max_scan_lengths: int = 160,
     scan_block: int = 16,
+    mesh=None,
 ) -> FillResult:
     """Fill all gaps for one iteration (one FillGaps.cpp run equivalent)."""
     n_gaps = len(gaps)
     out_strings: list[np.ndarray] = [None] * n_gaps
     gaptofill = np.zeros(n_gaps, np.int64)
     placements: list = [[] for _ in range(n_gaps)]
-    stats = {"skipped": 0, "neg_merged": 0, "filled": 0, "scan_instances": 0}
+    stats = {"skipped": 0, "neg_merged": 0, "filled": 0, "scan_instances": 0,
+             "buckets": 0}
 
     plans = plan_gaps(genome, gaps, bundles, partial_mode, partial_len,
                       neg_overlap, max_scan_lengths)
@@ -648,71 +752,105 @@ def fill_gaps(
     if not active:
         return FillResult(out_strings, gaptofill, stats)
 
-    # ---- bucket shapes ---------------------------------------------------
+    # ---- shape buckets ---------------------------------------------------
     L = int(read_len or max(
         max((len(s) for p in (plans[i] for i in active)
              for s in (p.bundle.p_seq + p.bundle.u_seq)), default=100), 50))
-    maxG = max(max(plans[i].lengths) for i in active)
-    maxG = max(maxG, max(plans[i].gap.length for i in active))
-    if partial_mode:
-        R = 1  # unmapped reads unused in partial mode
-    else:
-        R = _round_up(max(max((plans[i].bundle.n_unmapped for i in active)), 1))
-    P = _round_up(max(max((plans[i].bundle.n_partial for i in active)), 1))
-    WL = L
-    Wp = WL + maxG
-    W = Wp + L
-    cfg = FillConfig(
-        W=W, Wp=Wp, L=L, WL=WL, max_gap_len=maxG, R=R, P=P,
-        partial_mode=partial_mode, unmapped_mode=not partial_mode,
-        em_iters=3 if partial_mode else em_iters_unmapped,
-        gap_prob_cutoff=float(model.gap_prob_cutoff),
-        insert_tmin=int(model.insert_threshold_min),
-        insert_tmax=int(model.insert_threshold_max),
-    )
-    marr = _model_arrays(model, L)
 
-    # ---- device scan over (gap, length) instances ------------------------
-    # Block-lazy scan: the reference's fillGap evaluates candidate lengths in
-    # order and early-exits on a likelihood plateau (6398-6478), so most gaps
-    # only ever look at a prefix of their length range.  Each round evaluates
-    # the next ``scan_block`` lengths of every unfinished gap, then replays
-    # the reference's exit logic on the accumulated prefix — identical
-    # results to a full scan at a fraction of the device work.
-    # (sorted so large-gap instances form contiguous chunks: the finalize-mode
-    #  EM extras are a static compile flag, fillGap 6208-6211)
-    active = sorted(active, key=lambda gi: plans[gi].large_gap)
+    def _bucket_key(gi):
+        plan = plans[gi]
+        need_g = max(max(plan.lengths, default=plan.gap.length),
+                     plan.gap.length,
+                     max(_probe_lengths(plan.gap.length))
+                     if (not partial_mode and not plan.large_gap
+                         and plan.gap.length <= GAPTHRESH) else 0)
+        gb = _quant(need_g, GAP_BUCKETS)
+        pb = _quant(max(plan.bundle.n_partial, 1), COUNT_BUCKETS)
+        rb = 1 if partial_mode else _quant(max(plan.bundle.n_unmapped, 1),
+                                           COUNT_BUCKETS)
+        return (gb, pb, rb, plan.large_gap)
+
+    buckets: dict[tuple, list[int]] = {}
+    for gi in active:
+        buckets.setdefault(_bucket_key(gi), []).append(gi)
+    stats["buckets"] = len(buckets)
+
+    marr = _model_arrays(model, L)
+    for (gb, pb, rb, large), gids in sorted(buckets.items()):
+        cfg = FillConfig(
+            W=L + gb + L, Wp=L + gb, L=L, WL=L, max_gap_len=gb, R=rb, P=pb,
+            partial_mode=partial_mode, unmapped_mode=not partial_mode,
+            em_iters=3 if partial_mode else em_iters_unmapped,
+            gap_prob_cutoff=float(model.gap_prob_cutoff),
+            insert_tmin=int(model.insert_threshold_min),
+            insert_tmax=int(model.insert_threshold_max),
+        )
+        # big read counts shrink the instance batch (VMEM/HBM pressure)
+        ib = max(4, min(instance_batch,
+                        instance_batch * 64 // max(64, pb, rb)))
+        _fill_bucket(genome, plans, gids, cfg, marr, large, partial_mode,
+                     ib, scan_block, out_strings, placements, stats,
+                     mesh=mesh)
+
+    return FillResult(out_strings, gaptofill, stats, placements)
+
+
+def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
+                 instance_batch, scan_block, out_strings, placements, stats,
+                 mesh=None):
+    """Scan + finalize for one shape bucket.
+
+    Device work is dispatched in fixed-size padded batches of
+    ``instance_batch`` (gap_idx, gap_len) pairs against bucket-resident gap
+    arrays — each batch is one cached compile per FillConfig.
+    """
+    gap_arrays = _build_gap_arrays(genome, [plans[g] for g in gids], cfg)
+    row_of = {gi: r for r, gi in enumerate(gids)}
+
     RES_KEYS = ("likelihood", "valid", "consensus", "accept", "pos")
     EXT_KEYS = ("discont", "ucoverf", "umaxleftf", "umaxrightf",
                 "region_perct", "saved_l", "saved_r")
-    acc = {gi: {k: [] for k in RES_KEYS + EXT_KEYS} for gi in active}
-    evl = {gi: [] for gi in active}  # lengths evaluated, in order
-    nxt = {gi: 0 for gi in active}
-    done = {gi: False for gi in active}
+    acc = {gi: {k: [] for k in RES_KEYS + EXT_KEYS} for gi in gids}
+    evl = {gi: [] for gi in gids}
+    nxt = {gi: 0 for gi in gids}
+    done = {gi: False for gi in gids}
     replayed = {}
 
-    def _dispatch(round_items, round_owner):
+    if mesh is not None:
+        from ..parallel.sharded import sharded_fill_gathered
+        run_fill = lambda gi_, gl_: sharded_fill_gathered(
+            mesh, cfg, gap_arrays, gi_, gl_, marr, finalize_flag=large_flag)
+        run_fin = lambda gi_, gl_, bs, sv, svl, svr: (
+            finalize_batch_gathered(cfg, gap_arrays, gi_, gl_, marr, bs, sv,
+                                    svl, svr))
+    else:
+        run_fill = lambda gi_, gl_: fill_batch_gathered(
+            cfg, gap_arrays, gi_, gl_, marr, finalize_flag=large_flag)
+        run_fin = lambda gi_, gl_, bs, sv, svl, svr: (
+            finalize_batch_gathered(cfg, gap_arrays, gi_, gl_, marr, bs, sv,
+                                    svl, svr))
+
+    def _dispatch(rows, lens, owners, collect=True):
         dev_outs = []
-        for i0 in range(0, len(round_items), instance_batch):
-            chunk = round_items[i0 : i0 + instance_batch]
-            insts = _build_instances(genome, chunk, cfg)
-            dev_outs.append(fill_batch(cfg, insts, marr,
-                            finalize_flag=(not partial_mode) and any(
-                                p.large_gap for p, _ in chunk)))
-        # one async device_get over all chunks (per-array D2H pays the full
-        # host<->TPU round-trip; see Aligner.align)
+        nb = instance_batch
+        for i0 in range(0, len(rows), nb):
+            r = rows[i0 : i0 + nb]
+            le = lens[i0 : i0 + nb]
+            pad = nb - len(r)
+            gi_ = jnp.asarray(np.asarray(r + [0] * pad, np.int32))
+            gl_ = jnp.asarray(np.asarray(le + [1] * pad, np.int32))
+            dev_outs.append(run_fill(gi_, gl_))
         at = 0
-        for i0, out in zip(range(0, len(round_items), instance_batch),
-                           jax.device_get(dev_outs)):
-            m = len(round_items[i0 : i0 + instance_batch])
+        for out in jax.device_get(dev_outs):
+            m = min(instance_batch, len(rows) - at)
             for ci in range(m):
-                gi = round_owner[at + ci]
-                evl[gi].append(round_items[at + ci][1])
+                gi = owners[at + ci]
+                evl[gi].append(lens[at + ci])
                 for k in RES_KEYS + EXT_KEYS:
                     if k in out:
                         acc[gi][k].append(out[k][ci])
             at += m
-        stats["scan_instances"] += len(round_items)
+        stats["scan_instances"] += len(rows)
 
     def _replay_gap(gi):
         plan = plans[gi]
@@ -725,56 +863,97 @@ def fill_gaps(
             edge = (np.asarray(a["ucoverf"]) | np.asarray(a["umaxleftf"])
                     | np.asarray(a["umaxrightf"]))
             gext = {"edge": edge, "discont": np.asarray(a["discont"])}
-        best_j, n_eval, varied = _replay_scan(
+        best_j, n_eval, varied, exited = _replay_scan(
             plan.lengths[:prefix], lik, valid, plan.gap.length, partial_mode,
             gext)
-        return best_j, n_eval, varied, prefix
+        return best_j, n_eval, varied, exited, prefix
 
+    # ---- read-count probe for small unmapped gaps (checkGapReads) --------
+    if not partial_mode:
+        probe_rows, probe_lens, probe_owner = [], [], []
+        probe_span = {}
+        for gi in gids:
+            plan = plans[gi]
+            if plan.large_gap or plan.gap.length > GAPTHRESH or plan.side_flag:
+                continue
+            pls = _probe_lengths(plan.gap.length)
+            probe_span[gi] = (len(probe_rows), len(pls),
+                              plan.gap.length < 30)
+            probe_rows += [row_of[gi]] * len(pls)
+            probe_lens += pls
+            probe_owner += [gi] * len(pls)
+        if probe_rows:
+            probe_acc = {gi: [] for gi in probe_span}
+            nb = instance_batch
+            dev_outs = []
+            for i0 in range(0, len(probe_rows), nb):
+                r = probe_rows[i0 : i0 + nb]
+                le = probe_lens[i0 : i0 + nb]
+                pad = nb - len(r)
+                gi_ = jnp.asarray(np.asarray(r + [0] * pad, np.int32))
+                gl_ = jnp.asarray(np.asarray(le + [1] * pad, np.int32))
+                dev_outs.append(run_fill(gi_, gl_))
+            at = 0
+            for out in jax.device_get(dev_outs):
+                m = min(nb, len(probe_rows) - at)
+                for ci in range(m):
+                    probe_acc[probe_owner[at + ci]].append(
+                        int(out["valid"][ci]))
+                at += m
+            stats["scan_instances"] += len(probe_rows)
+            for gi, (_, np_, strict_gt) in probe_span.items():
+                counts = probe_acc[gi]
+                thresh = 3
+                enough = any((c > thresh) if strict_gt else (c >= thresh)
+                             for c in counts)
+                if not enough:
+                    # less_read_flag==1 -> range=0: fill at original length
+                    plans[gi].lengths = [plans[gi].gap.length]
+
+    # ---- block-lazy length scan ------------------------------------------
     while True:
-        round_items, round_owner = [], []
-        for gi in active:
+        rows, lens, owners = [], [], []
+        for gi in gids:
             if done[gi]:
                 continue
             plan = plans[gi]
             block = plan.lengths[nxt[gi] : nxt[gi] + scan_block]
-            round_items += [(plan, le) for le in block]
-            round_owner += [gi] * len(block)
+            rows += [row_of[gi]] * len(block)
+            lens += block
+            owners += [gi] * len(block)
             nxt[gi] += len(block)
-        if not round_items:
+        if not rows:
             break
-        _dispatch(round_items, round_owner)
-        for gi in dict.fromkeys(round_owner):
-            best_j, n_eval, varied, prefix = _replay_gap(gi)
-            if n_eval < prefix or nxt[gi] >= len(plans[gi].lengths):
+        _dispatch(rows, lens, owners)
+        for gi in dict.fromkeys(owners):
+            best_j, n_eval, varied, exited, prefix = _replay_gap(gi)
+            if exited or nxt[gi] >= len(plans[gi].lengths):
                 done[gi] = True
                 replayed[gi] = (best_j, n_eval, varied)
 
     # the original length is needed whenever a guard falls back to it
-    # (fillGap re-runs it when the scan stopped short, 6449-6477); evaluate
-    # it in one extra round for gaps whose scan exited before reaching it
-    extra_items, extra_owner = [], []
+    # (fillGap re-runs it when the scan stopped short, 6449-6477)
+    extra_rows, extra_lens, extra_owner = [], [], []
     orig_eval_j = {}
-    for gi in active:
+    for gi in gids:
         plan = plans[gi]
         oj = plan.lengths.index(plan.gap.length)
         if oj < len(acc[gi]["likelihood"]):
             orig_eval_j[gi] = oj
         else:
-            orig_eval_j[gi] = None  # filled after the extra round
-            extra_items.append((plan, plan.gap.length))
+            orig_eval_j[gi] = None
+            extra_rows.append(row_of[gi])
+            extra_lens.append(plan.gap.length)
             extra_owner.append(gi)
-    if extra_items:
-        _dispatch(extra_items, extra_owner)
+    if extra_rows:
+        _dispatch(extra_rows, extra_lens, extra_owner)
         for gi in extra_owner:
             orig_eval_j[gi] = len(acc[gi]["likelihood"]) - 1
 
     # ---- per-gap decision + finalize ------------------------------------
-    fin_items = []
-    fin_best = []
-    fin_saved = []
-    fin_saved_lr = []
-    fin_meta = []
-    for gi in active:
+    fin_rows, fin_lens = [], []
+    fin_best, fin_saved, fin_saved_lr, fin_meta = [], [], [], []
+    for gi in gids:
         plan = plans[gi]
         res = {k: np.asarray(acc[gi][k]) for k in RES_KEYS}
         ext = {k: np.asarray(acc[gi][k]) for k in EXT_KEYS if acc[gi][k]}
@@ -784,11 +963,7 @@ def fill_gaps(
 
         orig_j = orig_eval_j[gi]
         if not partial_mode:
-            # small-gap read-count probe (checkGapReads 6121-6153)
-            if (plan.gap.length <= GAPTHRESH and not plan.large_gap
-                    and valid.max(initial=0) <= 3):
-                best_j = orig_j  # less reads: fill at original length
-            elif not varied and not plan.side_flag:
+            if not varied and not plan.side_flag:
                 best_j = orig_j  # check_change==0 -> original (6533)
         else:
             if valid[best_j] == 0:
@@ -796,7 +971,8 @@ def fill_gaps(
 
         best_len = evl[gi][best_j]
         bs = res["consensus"][sel[best_j]][:cfg.max_gap_len].copy()
-        fin_items.append((plan, best_len))
+        fin_rows.append(row_of[gi])
+        fin_lens.append(best_len)
         fin_best.append(bs)
         fin_saved.append(res["accept"][sel[best_j]])
         if partial_mode:
@@ -807,27 +983,43 @@ def fill_gaps(
                          if not partial_mode else 0.0))
 
     fin_outs = []
-    for i0 in range(0, len(fin_items), instance_batch):
-        sl = slice(i0, i0 + instance_batch)
-        chunk = fin_items[sl]
-        insts = _build_instances(genome, chunk, cfg)
-        best = jnp.asarray(np.stack(fin_best[sl]))
+    nb = instance_batch
+    for i0 in range(0, len(fin_rows), nb):
+        sl = slice(i0, i0 + nb)
+        m = len(fin_rows[sl])
+        pad = nb - m
+        gi_ = jnp.asarray(np.asarray(fin_rows[sl] + [0] * pad, np.int32))
+        gl_ = jnp.asarray(np.asarray(fin_lens[sl] + [1] * pad, np.int32))
+        best = np.stack(fin_best[sl])
+        if pad:
+            best = np.concatenate([best, np.full((pad,) + best.shape[1:], 4,
+                                                 best.dtype)])
+        best = jnp.asarray(best)
         if partial_mode:
-            svl = jnp.asarray(np.array([a for a, _ in fin_saved_lr[sl]]))
-            svr = jnp.asarray(np.array([b for _, b in fin_saved_lr[sl]]))
-            sv = jnp.zeros((len(chunk), cfg.P), jnp.int8)
-            fin_outs.append(finalize_batch(cfg, insts, marr, best, sv, svl, svr))
+            svl = np.asarray([a for a, _ in fin_saved_lr[sl]])
+            svr = np.asarray([b for _, b in fin_saved_lr[sl]])
+            if pad:
+                svl = np.concatenate([svl, np.full(pad, -1, svl.dtype)])
+                svr = np.concatenate([svr, np.full(pad, -1, svr.dtype)])
+            sv = jnp.zeros((nb, cfg.P), jnp.int8)
+            fin_outs.append(run_fin(gi_, gl_, best, sv, jnp.asarray(svl),
+                                    jnp.asarray(svr)))
         else:
-            sv = jnp.asarray(np.stack(fin_saved[sl]).astype(np.int8))
-            fin_outs.append(finalize_batch(cfg, insts, marr, best, sv))
+            sv = np.stack(fin_saved[sl]).astype(np.int8)
+            if pad:
+                sv = np.concatenate([sv, np.zeros((pad, sv.shape[1]),
+                                                  np.int8)])
+            fin_outs.append(run_fin(gi_, gl_, best, jnp.asarray(sv),
+                                    None, None))
     fin_outs = jax.device_get(fin_outs)
 
-    for i0 in range(0, len(fin_items), instance_batch):
-        chunk = fin_items[i0 : i0 + instance_batch]
-        fout = fin_outs[i0 // instance_batch]
-
-        for ci, (plan, best_len) in enumerate(chunk):
+    for i0 in range(0, len(fin_rows), nb):
+        fout = fin_outs[i0 // nb]
+        m = len(fin_rows[i0 : i0 + nb])
+        for ci in range(m):
             gi, best_j, orig_j, sel, gres, rpm = fin_meta[i0 + ci]
+            plan = plans[gi]
+            best_len = fin_lens[i0 + ci]
             if partial_mode:
                 s = _finish_partial(plan, best_len, cfg, fout, ci, gres, sel,
                                     orig_j)
@@ -841,8 +1033,6 @@ def fill_gaps(
             seqs = (plan.bundle.p_seq if partial_mode else plan.bundle.u_seq)
             placements[gi] = [(int(k), int(pp[k]), seqs[k])
                               for k in range(len(seqs)) if facc[k]]
-
-    return FillResult(out_strings, gaptofill, stats, placements)
 
 
 def _finish_unmapped(plan, best_len, cfg, fout, ci, res, sel, orig_j,

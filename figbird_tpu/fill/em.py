@@ -660,6 +660,64 @@ def fill_batch(cfg: FillConfig, insts, model, finalize_flag: bool = True):
 
 
 # ===========================================================================
+# gathered entry points: per-GAP arrays live on device once; each dispatch
+# passes only (gap_idx, gap_len) int vectors.  Replaces the reference's
+# re-read of per-gap SAM files per candidate length (fillGap 6298-6482 calls
+# run() which re-parses; here the read tensors are resident) and kills the
+# per-instance host padding cost of the round-1 design.
+# ===========================================================================
+
+def build_tmpl(left_win, right_win, gap_len, cfg: FillConfig):
+    """Assemble the window template for one candidate gap length.
+
+    left_win (WL,): contig chars left of the gap (5 beyond contig start).
+    right_win (maxG+L,): contig chars from gap end (5 beyond contig end).
+    tmpl[w] = left for w<WL; 4 in the gap zone; right[w-WL-glen] after.
+    """
+    w = jnp.arange(cfg.W)
+    ridx = jnp.clip(w - cfg.WL - gap_len, 0, right_win.shape[0] - 1)
+    right = right_win[ridx]
+    out = jnp.where(w < cfg.WL + gap_len, jnp.int8(4), right)
+    left = jnp.concatenate(
+        [left_win, jnp.full((cfg.W - cfg.WL,), 5, jnp.int8)])
+    return jnp.where(w < cfg.WL, left, out)
+
+
+def _gather_inst(cfg: FillConfig, gap_arrays, gap_idx, gap_len):
+    inst = {k: v[gap_idx] for k, v in gap_arrays.items()
+            if k not in ("left_win", "right_win")}
+    inst["gap_len"] = gap_len
+    inst["tmpl"] = jax.vmap(lambda l, r, g: build_tmpl(l, r, g, cfg))(
+        gap_arrays["left_win"][gap_idx], gap_arrays["right_win"][gap_idx],
+        gap_len)
+    return inst
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "finalize_flag"))
+def fill_batch_gathered(cfg: FillConfig, gap_arrays, gap_idx, gap_len,
+                        model, finalize_flag: bool = True):
+    insts = _gather_inst(cfg, gap_arrays, gap_idx, gap_len)
+    if cfg.partial_mode:
+        fn = lambda inst: em_partial_instance(cfg, inst, model)
+    else:
+        fn = lambda inst: em_unmapped_instance(cfg, inst, model, finalize_flag)
+    return jax.vmap(fn)(insts)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def finalize_batch_gathered(cfg: FillConfig, gap_arrays, gap_idx, gap_len,
+                            model, best_strings, saved,
+                            saved_l=None, saved_r=None):
+    insts = _gather_inst(cfg, gap_arrays, gap_idx, gap_len)
+    if cfg.partial_mode:
+        fn = lambda inst, bs, sl, sr: finalize_partial_instance(
+            cfg, inst, model, bs, sl, sr)
+        return jax.vmap(fn)(insts, best_strings, saved_l, saved_r)
+    fn = lambda inst, bs, sv: finalize_unmapped_instance(cfg, inst, model, bs, sv)
+    return jax.vmap(fn)(insts, best_strings, saved)
+
+
+# ===========================================================================
 # finalize passes (Figbird.cpp finalize 4929-5399): deterministic re-placement
 # against the chosen bestString, no insert prior, acceptance gated by the
 # saved-read flags from the winning scan instance.

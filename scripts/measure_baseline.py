@@ -1,0 +1,120 @@
+"""Measure the reference pipeline's post-alignment stages at bench scale.
+
+Produces BASELINE_MEASURED.json at the repo root, consumed by bench.py:
+
+    {"genome_len", "n_pairs", "read_len",
+     "preprocess_s", "fillgaps_s_1t", "fillgaps_s_2t", "figbird_compile_s",
+     "bowtie2_est_reads_per_sec", "baseline_reads_per_sec", ...}
+
+The reference's aligner (bowtie2 2.2.3) is a missing blob in the checkout, so
+its time is *estimated* generously (documented below); Preprocess + FillGaps/
+Figbird are measured on this host from an injected SAM produced by our TPU
+aligner on the same simulated dataset bench.py uses.
+
+Baseline throughput formula (generous to the reference on every term):
+  T_ref = n_reads / bowtie2_rate          # est. multi-thread server rate
+        + preprocess_s                    # measured, single stream (as ref)
+        + (fillgaps_s_1t - figbird_compile_s) / assumed_threads
+  baseline_rps = n_reads / T_ref
+with assumed_threads = 8 (the reference's fill is embarrassingly parallel
+across gaps; we grant it perfect 8-way scaling even though this host has 2
+cores) and the per-iteration Figbird recompile cost (which the real reference
+pays every iteration, FillGaps.cpp:64-66) subtracted entirely.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+BOWTIE2_EST_RPS = 50_000.0  # bowtie2 --local, multi-thread server estimate
+ASSUMED_THREADS = 8
+
+scale = float(os.environ.get("BENCH_SCALE", "1.0"))
+
+from figbird_tpu.simulate import SimConfig, simulate
+from figbird_tpu.align import Aligner, AlignParams, build_index, build_pair_table
+from figbird_tpu.io.fasta import write_fasta
+from figbird_tpu.io.sam import write_sam
+from figbird_tpu.golden import ReferenceHarness, reference_available
+
+assert reference_available()
+
+INSERT = 200
+sim = simulate(SimConfig(
+    genome_len=int(4_600_000 * scale), n_contigs=4,
+    n_gaps=max(int(50 * scale), 8), gap_len_range=(10, 120),
+    read_len=101, insert_mean=INSERT, insert_sd=20,
+    coverage=10.0, error_rate=0.005, seed=1))
+r1, r2 = sim.reads1, sim.reads2
+n_reads = 2 * len(r1)
+print(f"# sim genome={sim.truth.total_length()} reads={n_reads}", file=sys.stderr)
+
+t0 = time.time()
+idx = build_index(sim.draft, k=15)
+al = Aligner(idx, AlignParams())
+a1 = al.align(r1.seq, r1.length)
+a2 = al.align(r2.seq, r2.length)
+pt = build_pair_table(idx, a1, a2, r1.length, r2.length, INSERT)
+print(f"# our align+pair {time.time()-t0:.1f}s", file=sys.stderr)
+
+work = "/tmp/baseline_work"
+os.makedirs(work, exist_ok=True)
+draft_fa = f"{work}/draft.fa"
+write_fasta(draft_fa, sim.draft.to_fasta(), width=60)
+t0 = time.time()
+sam_path = f"{work}/injected.sam"
+nrec = write_sam(sam_path, idx, sim.draft.names, r1, r2, a1, a2, pt=pt)
+print(f"# wrote {nrec} SAM records in {time.time()-t0:.1f}s", file=sys.stderr)
+
+h = ReferenceHarness(work)
+h.build()
+print(f"# ref compile {h.timings['compile']:.1f}s", file=sys.stderr)
+pre_s = h.run_preprocess(draft_fa, sam_path, max_distance=INSERT, samflag=1)
+print(f"# ref preprocess {pre_s:.1f}s", file=sys.stderr)
+fig_compile = h.figbird_compile_seconds()
+print(f"# figbird g++ -O2 compile {fig_compile:.1f}s", file=sys.stderr)
+fill_1t = h.run_fillgaps(draft_fa, max_distance=INSERT, max_read_len=101,
+                         itr=1, partial_flag=1, unmapped=0, threads=1,
+                         neg_overlap=30, partial_readlen=101,
+                         insert_mean=INSERT)
+ncount_1t = h.read_ncount()
+gapout_1t = h.read_gapout()
+print(f"# ref fillgaps 1t {fill_1t:.1f}s (ncount={ncount_1t})", file=sys.stderr)
+# re-run preprocess to reset per-gap sams (FillGaps consumed nothing, but
+# keep runs independent), then 2 threads
+pre2 = h.run_preprocess(draft_fa, sam_path, max_distance=INSERT, samflag=1)
+fill_2t = h.run_fillgaps(draft_fa, max_distance=INSERT, max_read_len=101,
+                         itr=1, partial_flag=1, unmapped=0, threads=2,
+                         neg_overlap=30, partial_readlen=101,
+                         insert_mean=INSERT)
+print(f"# ref fillgaps 2t {fill_2t:.1f}s", file=sys.stderr)
+
+fill_work_1t = max(fill_1t - fig_compile, 0.0)
+t_ref = (n_reads / BOWTIE2_EST_RPS + pre_s
+         + fill_work_1t / ASSUMED_THREADS)
+baseline_rps = n_reads / t_ref
+
+out = dict(
+    genome_len=int(sim.truth.total_length()), n_pairs=len(r1), n_reads=n_reads,
+    read_len=101, insert_mean=INSERT, scale=scale,
+    preprocess_s=round(pre_s, 2),
+    fillgaps_s_1t=round(fill_1t, 2), fillgaps_s_2t=round(fill_2t, 2),
+    figbird_compile_s=round(fig_compile, 2),
+    fill_work_1t_s=round(fill_work_1t, 2),
+    bowtie2_est_reads_per_sec=BOWTIE2_EST_RPS,
+    assumed_fill_threads=ASSUMED_THREADS,
+    t_ref_s=round(t_ref, 2),
+    baseline_reads_per_sec=round(baseline_rps, 1),
+    ref_ncount=ncount_1t,
+    ref_gaps_filled=sum(1 for row in gapout_1t if "N" not in row[5]),
+    n_gaps=len(gapout_1t),
+)
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+with open(os.path.join(repo, "BASELINE_MEASURED.json"), "w") as fh:
+    json.dump(out, fh, indent=1)
+print(json.dumps(out))
