@@ -788,6 +788,9 @@ def fill_gaps(
         # big read counts shrink the instance batch (VMEM/HBM pressure)
         ib = max(4, min(instance_batch,
                         instance_batch * 64 // max(64, pb, rb)))
+        if mesh is not None:  # instance axis must divide over the mesh
+            nrd = mesh.shape["reads"]
+            ib = -(-ib // nrd) * nrd
         _fill_bucket(genome, plans, gids, cfg, marr, large, partial_mode,
                      ib, scan_block, out_strings, placements, stats,
                      mesh=mesh)
@@ -817,18 +820,26 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
     replayed = {}
 
     if mesh is not None:
-        from ..parallel.sharded import sharded_fill_gathered
-        run_fill = lambda gi_, gl_: sharded_fill_gathered(
-            mesh, cfg, gap_arrays, gi_, gl_, marr, finalize_flag=large_flag)
-        run_fin = lambda gi_, gl_, bs, sv, svl, svr: (
-            finalize_batch_gathered(cfg, gap_arrays, gi_, gl_, marr, bs, sv,
-                                    svl, svr))
+        # gap arrays + model replicated; the instance axis shards over the
+        # mesh's ``reads`` axis (gaps are embarrassingly parallel — the TPU
+        # equivalent of FillGaps' share-nothing worker processes).
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        _shd = NamedSharding(mesh, _P("reads"))
+        gap_arrays = _jax.device_put(
+            gap_arrays, NamedSharding(mesh, _P()))
+        marr = _jax.device_put(marr, NamedSharding(mesh, _P()))
+        put_i = lambda x: None if x is None else _jax.device_put(x, _shd)
     else:
-        run_fill = lambda gi_, gl_: fill_batch_gathered(
-            cfg, gap_arrays, gi_, gl_, marr, finalize_flag=large_flag)
-        run_fin = lambda gi_, gl_, bs, sv, svl, svr: (
-            finalize_batch_gathered(cfg, gap_arrays, gi_, gl_, marr, bs, sv,
-                                    svl, svr))
+        put_i = lambda x: x
+    run_fill = lambda gi_, gl_: fill_batch_gathered(
+        cfg, gap_arrays, put_i(gi_), put_i(gl_), marr,
+        finalize_flag=large_flag)
+    run_fin = lambda gi_, gl_, bs, sv, svl, svr: (
+        finalize_batch_gathered(cfg, gap_arrays, put_i(gi_), put_i(gl_),
+                                marr, put_i(bs), put_i(sv), put_i(svl),
+                                put_i(svr)))
 
     def _dispatch(rows, lens, owners, collect=True):
         dev_outs = []

@@ -385,6 +385,139 @@ def _find_overlap_unmapped(cfg, inst, accept, pos_gap, lens):
     return value, new_accept, jnp.any(discont)
 
 
+def _update_reanchor(cfg: FillConfig, inst, counts, gc, accept, has_place,
+                     pl_major, left_max):
+    """The "update" re-anchoring step (Figbird.cpp:4030-4376), large gaps.
+
+    Unplaced-but-placeable reads are re-anchored by *exact* suffix/prefix
+    match (> 25% of read length) onto the consensus edges flanking the
+    unfilled N-region; matching reads vote (weight = match length) into the
+    region, and rows with any votes REPLACE countsGap with frequencies for
+    the next EM iteration.  When no read anchors on the left, the
+    partial-read majority string votes instead (4310-4321).  The reference's
+    right-side fallback (4322-4331) is dead code — ``num_match_count1`` is
+    initialised to 1 (4039) so its ``==0`` guard never fires — and is
+    intentionally not replicated.
+
+    Returns the (possibly) updated counts (W, 5); N column untouched
+    (4340-4352 writes k<4 only).
+    """
+    L, mgl, R = cfg.L, cfg.max_gap_len, inst["ur"].shape[0]
+    MS = max(int(L * 0.67), 2)
+    thresh = jnp.int32(int(L * 0.25))
+    min_gap = L // 2 + 1
+    gl = inst["gap_len"]
+    gs = inst["gap_start"]
+    t = jnp.arange(mgl)
+    in_gap = t < gl
+    isn = (gc == 4) & in_gap
+
+    # long-N-run endpoints (index_pair[0/1], 4058-4093): runs < min_gap_len
+    # are ignored
+    not_n_idx = jnp.where((~isn) & in_gap, t, -1)
+    run_start = jax.lax.cummax(not_n_idx, axis=0) + 1
+    nxt = jnp.where((~isn) & in_gap, t, 1 << 20)
+    next_non = jax.lax.cummin(nxt[::-1], axis=0)[::-1]
+    run_end = jnp.where(next_non < 1 << 20, next_non - 1, gl - 1)
+    qual = isn & (run_end - run_start + 1 >= min_gap)
+    any_q = jnp.any(qual)
+    s0 = jnp.min(jnp.where(qual, run_start, 1 << 20))
+    e1 = jnp.max(jnp.where(qual, run_end, -(1 << 20)))
+    index0 = jnp.maximum(s0 - 1, 0)
+    index1 = jnp.minimum(e1 + 1, gl - 1)
+
+    # left text segment: up to MS chars ending at index0, N-truncated (4110)
+    jj = jnp.arange(MS)
+    index_s = jnp.maximum(index0 - MS + 1, 0)
+    TLpos = index_s + jj
+    TL = gc[jnp.clip(TLpos, 0, mgl - 1)]
+    badl = (TL == 4) | (TLpos >= gl)
+    VL = jnp.where(jnp.any(badl), jnp.argmax(badl), MS)
+    # right segment: MS chars from index1, N kept verbatim (4123-4129)
+    TR_len = jnp.minimum(MS, gl - index1)
+    TRpos = index1 + jj
+    TR = gc[jnp.clip(TRpos, 0, mgl - 1)]
+    TRrev = TR[jnp.clip(TR_len - 1 - jj, 0, MS - 1)]
+
+    ur, rl = inst["ur"], inst["u_len"]
+    elig = (~accept) & has_place & inst["u_valid"]
+    # per-read insert gating at both anchor points (4177-4197)
+    tmin, tmax = cfg.insert_tmin, cfg.insert_tmax
+    upos = inst["u_pos"]
+
+    def ins_ok(idx):
+        placed = gs + idx
+        ins = jnp.where(upos < gs, placed + rl - upos, upos - placed + rl)
+        return (ins >= tmin + 100) & (ins <= tmax - 100)
+
+    ok0, ok1 = ins_ok(index0), ins_ok(index1)
+
+    kk = jnp.arange(MS)
+    rchar = ur[:, :MS]  # k < MS matching window
+
+    def first_match(seg, seg_len, read_k):
+        """Smallest offset j with seg[j:seg_len] == read[:seg_len-j] exactly
+        and match length > thresh; returns (found, match_len)."""
+        m_len = seg_len - jj[:, None]                       # (MS,1) per j
+        seg_at = seg[jnp.clip(jj[:, None] + kk[None, :], 0, MS - 1)]  # (MS,MS)
+        eqs = (seg_at[None] == read_k[:, None, :]) & (
+            kk[None, None, :] < rl[:, None, None])
+        need = kk[None, None, :] < m_len[None, :, :].reshape(1, MS, 1)
+        okk = jnp.all(eqs | ~need, axis=2)                  # (R, MS)
+        ok = okk & (m_len[None, :, 0] > thresh) & (jj[None, :] < seg_len)
+        has = jnp.any(ok, axis=1)
+        jstar = jnp.argmax(ok, axis=1)
+        return has, seg_len - jstar
+
+    has_l, match_l = first_match(TL, VL, rchar)
+    # right side matches reversed read against reversed segment (4250-4262)
+    rev_idx = jnp.clip(rl[:, None] - 1 - kk[None, :], 0, L - 1)
+    revread = jnp.take_along_axis(ur, rev_idx, axis=1)[:, :MS]
+    has_r, match_r = first_match(TRrev, TR_len, revread)
+    has_l = has_l & elig & ok0 & any_q
+    has_r = has_r & elig & ok1 & any_q
+
+    oh4 = jnp.asarray(ONEHOT4)
+    ri = jnp.arange(L)[None, :]
+    # left votes: read char ri lands at index0 - match + 1 + ri (4224-4238)
+    pos_l = index0 - match_l[:, None] + 1 + ri
+    val_l = has_l[:, None] & (pos_l > index0) & (pos_l < gl) & (ri < rl[:, None])
+    w_l = jnp.where(val_l, match_l[:, None], 0).astype(jnp.float32)
+    cp = jnp.zeros((mgl, 4), jnp.float32).at[
+        jnp.clip(pos_l, 0, mgl - 1).reshape(-1)
+    ].add((w_l[:, :, None] * oh4[ur]).reshape(-1, 4))
+    # right votes: reversed char ri lands at index1 + match - 1 - ri (4283-4299)
+    pos_r = index1 + match_r[:, None] - 1 - ri
+    val_r = has_r[:, None] & (pos_r < index1) & (pos_r >= 0) & (ri < rl[:, None])
+    w_r = jnp.where(val_r, match_r[:, None], 0).astype(jnp.float32)
+    rev_all = jnp.take_along_axis(ur, jnp.clip(rl[:, None] - 1 - ri, 0, L - 1),
+                                  axis=1)
+    cp = cp.at[jnp.clip(pos_r, 0, mgl - 1).reshape(-1)].add(
+        (w_r[:, :, None] * oh4[rev_all]).reshape(-1, 4))
+
+    # left partial-majority fallback (4310-4321): reference's post-loop flag1
+    # is the LAST eligible read's insert flag (loop-variable reuse quirk)
+    last_elig = jnp.max(jnp.where(elig, jnp.arange(R), -1))
+    flag1_last = jnp.where(last_elig >= 0, ok0[jnp.clip(last_elig, 0, R - 1)],
+                           True) & any_q
+    len_pl = jnp.maximum(left_max - 4 + 1 - 1, 0)  # chars at i <= left_max-5
+    fb = flag1_last & (jnp.sum(has_l) == 0) & (index0 < len_pl)
+    fb_pos = fb & (t > index0) & (t < len_pl)
+    cp = cp + jnp.where(fb_pos[:, None], oh4[jnp.minimum(pl_major, 4)], 0.0)
+
+    # replace countsGap rows that got votes with frequencies (4334-4352)
+    tot = cp.sum(axis=1)
+    w = jnp.arange(cfg.W)
+    gidx = w - cfg.WL
+    cp_w = cp[jnp.clip(gidx, 0, mgl - 1)]
+    tot_w = tot[jnp.clip(gidx, 0, mgl - 1)]
+    repl = (tot_w > 0) & (gidx >= 0) & (gidx < gl) & any_q
+    new4 = jnp.where(repl[:, None],
+                     cp_w / jnp.maximum(tot_w, 1e-9)[:, None],
+                     counts[:, :4])
+    return jnp.concatenate([new4, counts[:, 4:]], axis=1)
+
+
 # ===========================================================================
 # per-instance EM (vmapped over the instance axis by fill_batch)
 # ===========================================================================
@@ -574,9 +707,10 @@ def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool):
     counts0 = counts0.at[:, 4].add(jnp.where(gap_zone, 1.0, 0.0))
     probs0 = compute_probs_gap(counts0)
     # partial-stack init runs in unmapped mode too (computeProbsGap(1) at init)
-    st4, _, _ = partial_stack_probs(
+    st4, left_max, _right_min = partial_stack_probs(
         inst["pr"], inst["p_clip"], inst["p_match"], inst["p_len"],
         inst["p_valid"], cfg.max_gap_len, inst["gap_len"])
+    pl_major = jnp.argmax(st4, axis=1).astype(jnp.int8)  # partial_left chars
     tot = st4.sum(axis=1, keepdims=True)
     stp = jnp.concatenate([st4 / tot, jnp.zeros_like(tot)], axis=1)
     stp_w = jnp.zeros((cfg.W, 5)).at[cfg.WL : cfg.WL + cfg.max_gap_len].set(stp)
@@ -603,7 +737,17 @@ def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool):
         gc = jax.lax.dynamic_slice(out["cons2"], (cfg.WL,), (cfg.max_gap_len,))
         same = jnp.all(gc == s["prev"])
         comp = jnp.where(same, s["comp"] + 1, 0)
-        probs = compute_probs_gap(out["counts"])
+        counts = out["counts"]
+        if finalize_flag:
+            # "update" re-anchoring of unplaced reads onto consensus edges
+            # (Figbird.cpp:4029: unmapped && comp_count>=1 && region_perct!=0
+            #  && not the last EM iteration; updateflag == large_gap_flag)
+            upd = _update_reanchor(cfg, inst, counts, gc, out["accept"],
+                                   out["mx10"] > NEG / 2, pl_major, left_max)
+            cond = ((comp >= 1) & (out["region_perct"] != 0.0)
+                    & (s["it"] != cfg.em_iters - 1))
+            counts = jnp.where(cond, upd, counts)
+        probs = compute_probs_gap(counts)
         eprobs = compute_error_probs_gap(probs, model["et"])
         done = comp >= cfg.comp_stable
         if finalize_flag:

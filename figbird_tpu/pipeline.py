@@ -72,13 +72,6 @@ class PipelineResult:
             if self.iterations else True
 
 
-def _oriented(batch: ReadBatch, align: dict) -> np.ndarray:
-    # host-side numpy RC: a device round-trip here costs more in D2H transfer
-    # than the compute (the batch is (n, L) int8, tens of MB)
-    rc = batch.revcomp().seq
-    return np.where(align["strand"][:, None] == 1, rc, batch.seq)
-
-
 def _oriented_rows(batch: ReadBatch, align: dict, rows: np.ndarray) -> np.ndarray:
     """Reference-oriented sequences for a row subset only.
 
@@ -145,9 +138,16 @@ class Pipeline:
                  use_genome_reduction: bool = True,
                  use_read_reduction: bool = True,
                  min_model_pairs: int = 500,
-                 fill_kwargs: dict | None = None):
+                 fill_kwargs: dict | None = None,
+                 aligner_kwargs: dict | None = None,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with a ``reads`` axis; when
+        given, alignment batches and fill instances run data-parallel over it
+        (index/model replicated — SURVEY §2c SPMD mapping).  Results are
+        bit-identical to single-device (tests/test_parallel.py)."""
         cfg.validate()
         self.cfg = cfg
+        self.mesh = mesh
         self.genome = genome
         self.libs = []
         for lib, (r1, r2) in zip(cfg.read_pairs, libs):
@@ -162,6 +162,7 @@ class Pipeline:
         self.use_genome_reduction = use_genome_reduction
         self.min_model_pairs = min_model_pairs
         self.fill_kwargs = fill_kwargs or {}
+        self.aligner_kwargs = aligner_kwargs or {}
         self.use_read_reduction = use_read_reduction
         self._reduced: set[int] = set()
         self.itr = 0
@@ -174,7 +175,8 @@ class Pipeline:
     def _align_lib(self, genome: Genome, lib_i: int, max_insert: int):
         r1, r2 = self.libs[lib_i]
         idx = build_index(genome, k=15)
-        al = Aligner(idx, self.align_params)
+        al = Aligner(idx, self.align_params, mesh=self.mesh,
+                     **self.aligner_kwargs)
         t0 = time.time()
         a1 = al.align(r1.seq, r1.length)
         a2 = al.align(r2.seq, r2.length)
@@ -272,6 +274,7 @@ class Pipeline:
             genome, gaps, bundles, model,
             partial_mode=(mode == "p"), partial_len=partial_len,
             neg_overlap=cfgp.gaplen_negative_overlap,
+            mesh=self.mesh,
             **self.fill_kwargs,
         )
         new_genome = genome.splice_gaps(

@@ -66,9 +66,9 @@ codes, valid, offs, lo, hi = timeit("seed+searchsorted (old)", seeds_old, reads,
 
 def seeds_new(reads, lengths):
     codes, valid, offs = _seed_codes(reads, lengths, k, p.n_seeds)
-    hp, hm = _seed_hits(tables, codes, valid, p.hits_per_seed, p.repeat_limit,
-                        prefix_shift)
-    return hp, hm
+    hp, hm, ov = _seed_hits(tables, codes, valid, p.hits_per_seed,
+                            p.repeat_limit, prefix_shift)
+    return hp, hm, ov
 
 timeit("seed+buckets (new)", seeds_new, reads, lengths)
 
@@ -108,3 +108,10 @@ jax.block_until_ready(out)
 dt = (_t.time() - t0) / 5
 print(f"# full align_batch_device: {dt*1000:.1f} ms = {B/dt:.0f} reads/s/chip")
 
+
+def score_new(cand, hmask):
+    from figbird_tpu.ops.align_score import score_candidates_scan
+    sc = score_candidates_scan(flat2d, reads, cand, p.match, p.mismatch, 5)
+    return jnp.where(hmask, sc["local"], -(2**30))
+
+timeit("score_candidates pallas-scan", score_new, cand, hmask)

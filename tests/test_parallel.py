@@ -1,0 +1,67 @@
+"""Multi-device production-path tests on the 8-way virtual CPU mesh.
+
+The reference scales by share-nothing worker processes joined through files
+(FillGaps.cpp:51-138); the TPU design replaces that with SPMD over a device
+mesh.  These tests assert the sharded production pipeline is *bit-identical*
+to the single-device one — the property that makes the mesh a pure
+performance knob.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from figbird_tpu.config import FigbirdConfig, Parameters, ReadLibrary
+from figbird_tpu.parallel import make_mesh, psum_stats
+from figbird_tpu.pipeline import Pipeline
+from figbird_tpu.simulate import SimConfig, simulate
+
+
+def _sim():
+    return simulate(SimConfig(
+        genome_len=40_000, n_contigs=2, n_gaps=6, gap_len_range=(6, 40),
+        read_len=60, insert_mean=180, insert_sd=18, coverage=12.0,
+        error_rate=0.004, seed=11))
+
+
+def _cfg():
+    return FigbirdConfig(
+        draft_genome="", output_folder="",
+        read_pairs=[ReadLibrary("", "", avg_insert_size=180,
+                                max_read_length=60)],
+        parameters=Parameters(trim_len=0))
+
+
+def _run(mesh):
+    sim = _sim()
+    pipe = Pipeline(_cfg(), sim.draft, [(sim.reads1, sim.reads2)],
+                    aligner_kwargs={"batch_size": 2048}, mesh=mesh)
+    st = pipe.run_iteration("p", 0)
+    return sim, pipe, st
+
+
+def test_sharded_pipeline_bit_identical():
+    """Full production iteration: mesh of 8 == single device, bit for bit."""
+    sim1, pipe1, st1 = _run(mesh=None)
+    mesh = make_mesh(8, genome_shards=1)
+    sim2, pipe2, st2 = _run(mesh=mesh)
+    assert st1.n_before == st2.n_before
+    assert st1.n_after == st2.n_after
+    for c1, c2 in zip(pipe1.genome.contigs, pipe2.genome.contigs):
+        np.testing.assert_array_equal(c1, c2)
+    assert st2.n_after < st2.n_before  # it actually filled something
+
+
+def test_psum_stats_reduces():
+    """The model-stat all-reduce really sums across shards (not a tautology)."""
+    mesh = make_mesh(8, genome_shards=2)
+    n_rd = mesh.shape["reads"]
+    per = np.arange(n_rd * 16, dtype=np.float32).reshape(n_rd * 4, 4)
+    total = np.asarray(psum_stats(mesh, jnp.asarray(per)))
+    # replicated output == sum of every shard's (4,4) block (x genome axis,
+    # which replicates the input here)
+    expect = per.reshape(n_rd, 4, 4).sum(axis=0) * mesh.shape["genome"]
+    assert total.shape == (4, 4)
+    np.testing.assert_allclose(total, expect)
