@@ -6,12 +6,13 @@ batched EM fill -> splice) on an E. coli-scale simulated dataset
 (BASELINE.json config 1: ~4.6 Mb draft, ~50 gaps, 2x100bp, insert ~200) and
 reports throughput of the end-to-end iteration.
 
-Baseline: the reference pipeline could not be executed in this environment
-(its bowtie2/QUAST archives are missing blobs), so ``vs_baseline`` is computed
-against a documented estimate of the C++/bowtie2 path: bowtie2 --local at
-~12.5k reads/s/thread x 4 threads = 50k reads/s, ignoring the reference's
-additional Preprocess/Figbird CPU time (i.e. the estimate FAVOURS the
-baseline).  Revisit when a runnable CPU baseline exists.
+Baseline: measured by scripts/measure_baseline.py, which compiles the
+reference's Preprocess/FillGaps/Figbird sources (g++ -O2), runs them on an
+injected SAM over the SAME simulated dataset, and combines their measured
+times with a generous bowtie2 estimate (its archive is a missing blob) and a
+granted perfect 8-way fill scaling.  The result lives in
+BASELINE_MEASURED.json (``baseline_reads_per_sec``); a documented estimate is
+the fallback when that file is absent.
 
 Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,7 +24,17 @@ import time
 
 import numpy as np
 
-BASELINE_READS_PER_SEC = 50_000.0
+_FALLBACK_BASELINE_RPS = 50_000.0  # documented estimate, see header
+
+
+def _baseline_rps() -> float:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    try:
+        with open(path) as fh:
+            return float(json.load(fh)["baseline_reads_per_sec"])
+    except (OSError, KeyError, ValueError):
+        return _FALLBACK_BASELINE_RPS
 
 
 def main():
@@ -44,7 +55,7 @@ def main():
         n_contigs=4,
         n_gaps=max(int(50 * scale), 8),
         gap_len_range=(10, 120),
-        read_len=100,
+        read_len=101,
         insert_mean=200,
         insert_sd=20,
         coverage=10.0,
@@ -58,7 +69,7 @@ def main():
     cfg = FigbirdConfig(
         draft_genome="", output_folder="",
         read_pairs=[ReadLibrary("", "", avg_insert_size=200,
-                                max_read_length=100)],
+                                max_read_length=101)],
         parameters=Parameters(trim_len=0),
     )
     # pass 1: warms every jit cache (compile included); pass 2 on a fresh
@@ -82,12 +93,13 @@ def main():
     print(f"# iteration wall={wall:.1f}s  align-only={align_rps:.0f} r/s  "
           f"N {st.n_before}->{st.n_after} ({filled_frac:.1%} filled)",
           file=sys.stderr)
+    pipe.timer.report()
 
     print(json.dumps({
         "metric": "reads_aligned_assigned_per_sec_per_chip",
         "value": round(reads_per_sec, 1),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 3),
+        "vs_baseline": round(reads_per_sec / _baseline_rps(), 3),
     }))
 
 

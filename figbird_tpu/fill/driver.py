@@ -62,6 +62,11 @@ class FillResult:
     gaptofill: np.ndarray   # per-gap skip counts
     stats: dict
     placements: list = None  # per-gap [(read_idx, gap_pos, seq)] (draw trace)
+    # per-gap (second_best_len, second_best_consensus) or None — the
+    # reference's secondBestString/secondMaxGapEstimate (Figbird.cpp
+    # 6243-6246, 6360-6383).  Write-only state there (set, then only
+    # deleted at 6594); surfaced here for inspection/parity.
+    second_best: list = None
 
 
 # ---------------------------------------------------------------- analysis
@@ -365,13 +370,15 @@ def _build_instances(genome: Genome, items: list[tuple[GapPlan, int]],
 def _replay_scan(lengths, lik, valid, orig, partial_mode, extras=None):
     """Replay fillGap's sequential plateau/early-exit logic (6398-6478).
 
-    Returns (best_index, evaluated_count, used_read_varied, exited) — exited
+    Returns (best_index, evaluated_count, used_read_varied, exited,
+    second_best_index) — exited
     is True when a break fired (the gap needs no further candidate lengths,
     even if the prefix boundary coincides with the break point).
     """
     same_thresh = PARTIAL_SAME if partial_mode else JUMP_SAME
     best_i = 0
     second = -np.inf
+    second_i = -1
     best_lik = -np.inf
     same = 0
     sec_same = sec_same2 = stuck = 0
@@ -383,12 +390,18 @@ def _replay_scan(lengths, lik, valid, orig, partial_mode, extras=None):
     for j, (le, lk, vc) in enumerate(zip(lengths, lik, valid)):
         n_eval = j + 1
         if lk > best_lik:
+            # second-best consensus tracking (6358-6383): the displaced best
+            # becomes second best.  Write-only state in the reference —
+            # secondBestString is set here and only ever deleted (6594) —
+            # tracked for parity and exposed via FillResult.second_best.
             second = best_lik
+            second_i = best_i if np.isfinite(best_lik) else -1
             best_lik = lk
             best_i = j
             prev_u = vc
         elif lk > second:
             second = lk
+            second_i = j
         diff = abs(prev_lik - lk)
         same = same + 1 if diff <= 0.9 else 0
         prev_lik = lk
@@ -420,7 +433,7 @@ def _replay_scan(lengths, lik, valid, orig, partial_mode, extras=None):
                 break
     used = np.asarray(valid[:n_eval])
     varied = bool(len(used) > 1 and np.any(used != used[0]))
-    return best_i, n_eval, varied, exited
+    return best_i, n_eval, varied, exited, second_i
 
 
 # ---------------------------------------------------------------- host guards
@@ -510,6 +523,70 @@ def _recheck_sequence(cons, pos, lens, accept, orig_gap, region_perct) -> int:
             j += 1
         if i < 0 and j == gl:
             return 1
+    return 0
+
+
+def _recheck_partial(cons: np.ndarray, counts: np.ndarray, pos: np.ndarray,
+                     lens: np.ndarray, accept: np.ndarray) -> int:
+    """recheck_partial (Figbird.cpp:4750-4873).
+
+    NOTE: the reference *defines* this guard but never calls it — there is no
+    call site anywhere in Figbird.cpp (only the definition at 4750).  It is
+    implemented here for component completeness and exposed for opt-in use /
+    testing; the default fill path matches the reference by not invoking it.
+
+    Mutates ``cons`` (may N-out a discontinuity) and ``counts`` (zeroes ACGT
+    columns around unsupported regions).  Returns:
+      -1  "extreme problem" — one-sided coverage or reads wrongly spanning;
+       0  characters eroded around a too-small/discontinuous region;
+       1  consensus accepted as-is (or full-gap N region already present).
+    """
+    gap_len = len(cons)
+    regions = _find_region(cons)
+    ps = np.where(accept, pos, -200)
+    rcountleft = int(np.sum(accept & (pos < 0)))
+    rcountright = int(np.sum(accept & (pos > 0)))
+    readcover = int(np.sum(accept & (pos < 0) & (pos + lens >= gap_len)))
+
+    discont = False
+    if len(regions) == 0 and rcountleft > 0 and rcountright > 0 \
+            and readcover == 0:
+        order = np.argsort(ps, kind="stable")
+        sp, sl = ps[order], lens[order]
+        for i in range(len(sp) - 1):
+            if sp[i] != -200 and sp[i] < 0 and sp[i + 1] > 0:
+                diff = sp[i] + sl[i] - sp[i + 1]
+                if diff == 0:
+                    discont = True
+                    cons[int(sp[i + 1])] = N
+                    regions = _find_region(cons)
+                    break
+
+    if not discont and len(regions) == 0 and (
+            readcover > 0 or rcountleft == 0 or rcountright == 0):
+        return -1
+
+    if len(regions) > 1:
+        start, end = regions[0][0], regions[-1][1]
+        counts[start : end + 1, :4] = 0
+    elif len(regions) == 1:
+        start, end = regions[0]
+    else:
+        return 1
+
+    min_n = 21
+    remove_char = 10
+    if not discont and end - start >= min_n and rcountright > 0 \
+            and rcountleft > 0:
+        return 1
+    if discont or end - start < min_n:
+        if not discont:
+            rem = min_n - end + start
+            remove_char = rem // 2 + rem % 2
+        lo = max(start - remove_char, 0)
+        counts[lo:start, :4] = 0
+        hi = min(end + 1 + remove_char, gap_len)
+        counts[end + 1 : hi, :4] = 0
     return 0
 
 
@@ -731,6 +808,7 @@ def fill_gaps(
     out_strings: list[np.ndarray] = [None] * n_gaps
     gaptofill = np.zeros(n_gaps, np.int64)
     placements: list = [[] for _ in range(n_gaps)]
+    second_best: list = [None] * n_gaps
     stats = {"skipped": 0, "neg_merged": 0, "filled": 0, "scan_instances": 0,
              "buckets": 0}
 
@@ -793,14 +871,14 @@ def fill_gaps(
             ib = -(-ib // nrd) * nrd
         _fill_bucket(genome, plans, gids, cfg, marr, large, partial_mode,
                      ib, scan_block, out_strings, placements, stats,
-                     mesh=mesh)
+                     second_best, mesh=mesh)
 
-    return FillResult(out_strings, gaptofill, stats, placements)
+    return FillResult(out_strings, gaptofill, stats, placements, second_best)
 
 
 def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
                  instance_batch, scan_block, out_strings, placements, stats,
-                 mesh=None):
+                 second_best=None, mesh=None):
     """Scan + finalize for one shape bucket.
 
     Device work is dispatched in fixed-size padded batches of
@@ -874,10 +952,10 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
             edge = (np.asarray(a["ucoverf"]) | np.asarray(a["umaxleftf"])
                     | np.asarray(a["umaxrightf"]))
             gext = {"edge": edge, "discont": np.asarray(a["discont"])}
-        best_j, n_eval, varied, exited = _replay_scan(
+        best_j, n_eval, varied, exited, second_j = _replay_scan(
             plan.lengths[:prefix], lik, valid, plan.gap.length, partial_mode,
             gext)
-        return best_j, n_eval, varied, exited, prefix
+        return best_j, n_eval, varied, exited, prefix, second_j
 
     # ---- read-count probe for small unmapped gaps (checkGapReads) --------
     if not partial_mode:
@@ -937,10 +1015,10 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
             break
         _dispatch(rows, lens, owners)
         for gi in dict.fromkeys(owners):
-            best_j, n_eval, varied, exited, prefix = _replay_gap(gi)
+            best_j, n_eval, varied, exited, prefix, second_j = _replay_gap(gi)
             if exited or nxt[gi] >= len(plans[gi].lengths):
                 done[gi] = True
-                replayed[gi] = (best_j, n_eval, varied)
+                replayed[gi] = (best_j, n_eval, varied, second_j)
 
     # the original length is needed whenever a guard falls back to it
     # (fillGap re-runs it when the scan stopped short, 6449-6477)
@@ -970,7 +1048,7 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
         ext = {k: np.asarray(acc[gi][k]) for k in EXT_KEYS if acc[gi][k]}
         sel = np.arange(len(res["likelihood"]))
         valid = res["valid"]
-        best_j, n_eval, varied = replayed[gi]
+        best_j, n_eval, varied, second_j = replayed[gi]
 
         orig_j = orig_eval_j[gi]
         if not partial_mode:
@@ -982,6 +1060,10 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
 
         best_len = evl[gi][best_j]
         bs = res["consensus"][sel[best_j]][:cfg.max_gap_len].copy()
+        if second_best is not None and 0 <= second_j < len(evl[gi]):
+            second_best[gi] = (
+                evl[gi][second_j],
+                res["consensus"][sel[second_j]][:cfg.max_gap_len].copy())
         fin_rows.append(row_of[gi])
         fin_lens.append(best_len)
         fin_best.append(bs)

@@ -42,6 +42,7 @@ from .model.error_model import (
 )
 from .fill import fill_gaps
 from .triage import GapBundle, Triage
+from .utils.trace import StageTimer
 
 
 @dataclass
@@ -170,6 +171,7 @@ class Pipeline:
         self.result = PipelineResult(genome)
         self._aligned_reads = 0
         self._align_seconds = 0.0
+        self.timer = StageTimer()
 
     # ------------------------------------------------------------------
     def _align_lib(self, genome: Genome, lib_i: int, max_insert: int):
@@ -214,13 +216,16 @@ class Pipeline:
         mi = self.cfg.min_isz_index
         m_lib = self.cfg.read_pairs[mi]
         maxD1 = m_lib.avg_insert_size
-        idx, a1, a2, pt = self._align_lib(genome, mi, max_insert=maxD1)
+        with self.timer.stage("align", 2 * len(self.libs[mi][0])):
+            idx, a1, a2, pt = self._align_lib(genome, mi, max_insert=maxD1)
         partial_len = m_lib.max_read_length
         r1, r2 = self.libs[mi]
-        model, n_model = _learn_model(
-            idx, pt, a1, a2, r1, r2, genome.lengths,
-            partial_flag=(mode == "p"), partial_len=partial_len,
-            input_mean=(m_lib.avg_insert_size if cfgp.set_inputmean else 0.0))
+        with self.timer.stage("model"):
+            model, n_model = _learn_model(
+                idx, pt, a1, a2, r1, r2, genome.lengths,
+                partial_flag=(mode == "p"), partial_len=partial_len,
+                input_mean=(m_lib.avg_insert_size
+                            if cfgp.set_inputmean else 0.0))
         if model is None or n_model < self.min_model_pairs:
             model = self.saved_model
             if model is None:
@@ -228,9 +233,10 @@ class Pipeline:
         else:
             self.saved_model = model
 
-        tri = Triage(gaps, max_distance=maxD1,
-                     read_mean=m_lib.avg_insert_size, is_jump=False)
-        tri.collect_partial(pt, r1, r2)
+        with self.timer.stage("triage"):
+            tri = Triage(gaps, max_distance=maxD1,
+                         read_mean=m_lib.avg_insert_size, is_jump=False)
+            tri.collect_partial(pt, r1, r2)
         bundles = tri.bundles
         n_pairs = len(r1)
         reductions: dict[int, np.ndarray] = {}
@@ -270,15 +276,17 @@ class Pipeline:
                 reductions[lib_i] = self._reduction_keep(pt2)
 
         # --- fill + splice ---------------------------------------------------
-        res = fill_gaps(
-            genome, gaps, bundles, model,
-            partial_mode=(mode == "p"), partial_len=partial_len,
-            neg_overlap=cfgp.gaplen_negative_overlap,
-            mesh=self.mesh,
-            **self.fill_kwargs,
-        )
-        new_genome = genome.splice_gaps(
-            gaps, res.gap_strings, list(res.gaptofill))
+        with self.timer.stage("fill", len(gaps)):
+            res = fill_gaps(
+                genome, gaps, bundles, model,
+                partial_mode=(mode == "p"), partial_len=partial_len,
+                neg_overlap=cfgp.gaplen_negative_overlap,
+                mesh=self.mesh,
+                **self.fill_kwargs,
+            )
+        with self.timer.stage("splice"):
+            new_genome = genome.splice_gaps(
+                gaps, res.gap_strings, list(res.gaptofill))
         n_after = new_genome.count_n()
         self.genome = new_genome
         self.result.genome = new_genome

@@ -203,3 +203,68 @@ def test_find_perfect_mim():
     b3 = GapBundle(gap3)
     b3.p_seq.append(np.concatenate([lf[-20:], insert, rf[:20]]))
     assert _find_perfect_mim(GapPlan(gap3, b3, lf, rf, 30)) == (0, 0)
+
+
+def test_recheck_partial_guard():
+    """recheck_partial (Figbird.cpp:4750-4873) — defined but never called in
+    the reference; unit-tested directly on constructed placements."""
+    from figbird_tpu.fill.driver import _recheck_partial
+
+    gl = 60
+    # case A: clean consensus with a big N region and two-sided coverage -> 1
+    cons = np.zeros(gl, np.int8)
+    cons[15:45] = N  # 30 >= min_N=21
+    counts = np.ones((gl, 5), np.float32)
+    pos = np.array([-40, 20], np.int64)
+    lens = np.array([50, 50], np.int64)
+    accept = np.array([True, True])
+    assert _recheck_partial(cons.copy(), counts.copy(), pos, lens, accept) == 1
+
+    # case B: no N region, reads only on the left -> "extreme problem" (-1)
+    cons = np.zeros(gl, np.int8)
+    pos = np.array([-40, -30], np.int64)
+    lens = np.array([50, 50], np.int64)
+    assert _recheck_partial(cons.copy(), counts.copy(), pos, lens,
+                            np.array([True, True])) == -1
+
+    # case C: discontinuous join (left read ends exactly where right read
+    # starts) -> N-out at the junction, erode 10 chars each side, return 0
+    cons = np.zeros(gl, np.int8)
+    pos = np.array([-20, 30], np.int64)   # left covers [0,30), right [30,..)
+    lens = np.array([50, 50], np.int64)
+    counts = np.ones((gl, 5), np.float32)
+    c2 = cons.copy()
+    rv = _recheck_partial(c2, counts, pos, lens, np.array([True, True]))
+    assert rv == 0
+    assert c2[30] == N                      # junction N-ed out
+    assert (counts[20:30, :4] == 0).all()   # 10 eroded before the region
+    assert (counts[31:41, :4] == 0).all()   # 10 eroded after
+    assert (counts[:20, :4] == 1).all()
+
+    # case D: small N region (< 21) with both sides covered -> erode to 21
+    cons = np.zeros(gl, np.int8)
+    cons[28:33] = N  # 5-wide region
+    counts = np.ones((gl, 5), np.float32)
+    pos = np.array([-40, 20], np.int64)
+    lens = np.array([50, 50], np.int64)
+    rv = _recheck_partial(cons.copy(), counts, pos, lens,
+                          np.array([True, True]))
+    assert rv == 0
+    # rem = 21 - 32 + 28 = 17 -> remove_char = 9
+    assert (counts[28 - 9 : 28, :4] == 0).all()
+    assert (counts[33 : 33 + 9, :4] == 0).all()
+    assert (counts[:19, :4] == 1).all()
+
+
+def test_second_best_tracked(model):
+    """secondBestString parity (Figbird.cpp:6360-6383, write-only there)."""
+    truth, genome, gap = _mk_draft(24)
+    b = _partial_bundle(truth, gap, [1430, 1445, 1460, 1470])
+    _right_partial(b, truth, gap, [1510, 1520])
+    res = fill_gaps(genome, [gap], [b], model, partial_mode=True,
+                    partial_len=L, max_scan_lengths=24)
+    sb = res.second_best[0]
+    assert sb is not None
+    slen, sstr = sb
+    assert slen != len(res.gap_strings[0]) or not np.array_equal(
+        sstr[:slen], res.gap_strings[0])
