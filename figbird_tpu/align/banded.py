@@ -1,0 +1,233 @@
+"""Banded affine-gap Smith-Waterman escalation tier (indel-aware).
+
+The gapless Kadane scorer (core.py) cannot represent insertions/deletions, so
+reads carrying indels arrive clipped or unaligned.  This tier re-scores such
+reads with a banded local affine-gap DP around their best seed diagonal —
+the bowtie2-equivalent alignment mode the reference feeds on
+(processErrorTypes learns inPos/inLengths/delPos/delLengths from CIGAR I/D
+ops, Figbird.cpp:291-487; Preprocess spots ``xMyIzM`` gap-spanning reads,
+Preprocess.cpp:885-925).
+
+Split of labour (TPU-first):
+  * device: batched banded DP *scores* over the escalation set — a
+    ``lax.scan`` over read positions with a (B, K) band carry, K = 2*band+1.
+    Within-row deletion chains use the exact lazy-E formulation (valid for
+    ``gap_open <= gap_extend``): E[k] = max_{k'<k} H_noE[k'] + open +
+    ext*(k-1-k'), one ``cummax`` per row.
+  * host: full traceback DP only for the *winners* (banded score beats the
+    gapless score), emitting CIGAR-equivalent ops for the error model and
+    MIM detection.  Winners are rare (indel rate ~1e-3), so host time is
+    negligible.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes import GAP_CODE
+from .core import _extract_span
+
+NEG = -(2 ** 30)
+
+
+@dataclass(frozen=True)
+class BandedParams:
+    band: int = 8           # max indel drift either way
+    match: int = 2          # bowtie2 --local --ma
+    mismatch: int = -6      # --mp max
+    gap_open: int = -5      # --rdg/--rfg default "5,3"
+    gap_extend: int = -3
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def banded_scores_device(flat2d, starts, reads, lengths,
+                         params: BandedParams):
+    """Banded local affine-gap DP scores for a batch.
+
+    starts (B,): padded-flat genome position each read's gapless candidate
+    would start at; the band allows +-band drift around that diagonal.
+
+    Returns dict(score (B,) int32, end_i (B,), end_k (B,)) — the best-scoring
+    cell; traceback happens on host for winners only.
+    """
+    B, L = reads.shape
+    bd = params.band
+    K = 2 * bd + 1
+    win = _extract_span(flat2d, jnp.maximum(starts - bd, 0), L + 2 * bd)
+
+    op, ex = params.gap_open, params.gap_extend
+    mt, ms = params.match, params.mismatch
+    kk = jnp.arange(K)
+
+    # window char for cell (i, k) is win[:, i + k]
+    def step(carry, i):
+        H_prev, F_prev, best, bi, bk = carry
+        wch = jax.lax.dynamic_slice_in_dim(win, i, K, axis=1)
+        rch = jax.lax.dynamic_index_in_dim(reads, i, axis=1)  # (B,1)
+        valid_r = (i < lengths)[:, None]
+        # genome N scores as a plain mismatch (same as the gapless scorer and
+        # the host traceback) — NOT as a forbidden cell; GAP_CODE == N here
+        sub = jnp.where((wch == rch) & (wch != GAP_CODE), mt, ms)
+
+        # diagonal: (i-1, k) -> (i, k) consumes read i + genome char
+        diag = H_prev + sub
+        # insertion in read (gap in genome): (i-1, k+1) -> (i, k)
+        H_up = jnp.concatenate([H_prev[:, 1:], jnp.full((B, 1), NEG)], axis=1)
+        F_up = jnp.concatenate([F_prev[:, 1:], jnp.full((B, 1), NEG)], axis=1)
+        F = jnp.maximum(H_up + op, F_up + ex)
+        F = jnp.where(valid_r, F, NEG)
+        H_noE = jnp.maximum(jnp.maximum(diag, F), 0)
+        # deletion chain along k (lazy-E, exact for op <= ex):
+        # E[k] = max_{k'<k} H_noE[k'] + op + ex*(k-1-k')
+        g = H_noE - ex * kk[None, :]
+        m = jax.lax.cummax(g, axis=1)
+        m_shift = jnp.concatenate([jnp.full((B, 1), NEG), m[:, :-1]], axis=1)
+        E = m_shift + op + ex * (kk[None, :] - 1)  # = op + ex*(k-1-k')
+        H = jnp.maximum(H_noE, E)
+        H = jnp.maximum(H, 0)
+        H = jnp.where((i < lengths)[:, None], H, H_prev)
+
+        row_best = jnp.max(H, axis=1)
+        row_k = jnp.argmax(H, axis=1).astype(jnp.int32)
+        upd = row_best > best
+        best = jnp.where(upd, row_best, best)
+        bi = jnp.where(upd, i, bi)
+        bk = jnp.where(upd, row_k, bk)
+        return (H, F, best, bi, bk), None
+
+    H0 = jnp.zeros((B, K), jnp.int32)
+    F0 = jnp.full((B, K), NEG, jnp.int32)
+    best0 = jnp.zeros(B, jnp.int32)
+    z = jnp.zeros(B, jnp.int32)
+    (Hf, Ff, best, bi, bk), _ = jax.lax.scan(
+        step, (H0, F0, best0, z, z), jnp.arange(L))
+    return dict(score=best, end_i=bi, end_k=bk)
+
+
+def host_traceback(read: np.ndarray, window: np.ndarray, rlen: int,
+                   params: BandedParams):
+    """Full banded DP with pointers for ONE read; returns alignment detail.
+
+    window: (rlen + 2*band,) genome chars, window[0] at diagonal offset
+    -band from the read's nominal start.
+
+    Returns dict(score, ops [(op, len)] with op in "MIDS" (M covers both
+    match and mismatch), read_start, read_end (exclusive), g_off — genome
+    offset of the first aligned char relative to the nominal start
+    (i.e. -band + k at the alignment's top-left), n_mis, mism (bool (rlen,)),
+    ins_events [(cycle, len)], del_events [(cycle, len)]) or None when no
+    positive-score cell exists.
+    """
+    bd = params.band
+    K = 2 * bd + 1
+    op_, ex = params.gap_open, params.gap_extend
+    mt, ms = params.match, params.mismatch
+    L = rlen
+    H = np.zeros((L + 1, K), np.int64)
+    ptr = np.zeros((L + 1, K), np.int8)  # 0 stop, 1 diag, 2 up(F/ins), 3 left(E/del)
+    F = np.full((L + 1, K), NEG, np.int64)
+    Fsrc = np.zeros((L + 1, K), np.int8)  # 1: opened from H, 0: extended
+    E = np.full((L + 1, K), NEG, np.int64)
+    Esrc = np.zeros((L + 1, K), np.int8)
+    best, bcell = 0, None
+    for i in range(1, L + 1):
+        rch = read[i - 1]
+        wrow = window[i - 1 : i - 1 + K]
+        sub = np.where((wrow == rch) & (wrow != GAP_CODE) & (rch != GAP_CODE),
+                       mt, ms)
+        diag = H[i - 1] + sub
+        H_up = np.concatenate([H[i - 1][1:], [NEG]])
+        F_up = np.concatenate([F[i - 1][1:], [NEG]])
+        F[i] = np.maximum(H_up + op_, F_up + ex)
+        Fsrc[i] = (H_up + op_ >= F_up + ex).astype(np.int8)
+        # E along k (exact sequential; K is tiny)
+        for k in range(K):
+            cands = [0, diag[k], F[i][k]]
+            hk = max(cands)
+            if k > 0:
+                e_open = hk_prev + op_  # H[i,k-1] computed this sweep
+                e_ext = E[i][k - 1] + ex
+                E[i][k] = max(e_open, e_ext)
+                Esrc[i][k] = 1 if e_open >= e_ext else 0
+                hk = max(hk, E[i][k])
+            H[i][k] = hk
+            if hk == 0:
+                ptr[i][k] = 0
+            elif k > 0 and hk == E[i][k]:
+                ptr[i][k] = 3
+            elif hk == F[i][k]:
+                ptr[i][k] = 2
+            else:
+                ptr[i][k] = 1
+            hk_prev = hk
+            if hk > best:
+                best, bcell = hk, (i, k)
+    if bcell is None:
+        return None
+    # traceback
+    i, k = bcell
+    ops_rev = []
+    mism = np.zeros(L, bool)
+    n_mis = 0
+    state = "H"
+    while i > 0:
+        if state == "H":
+            d = ptr[i][k]
+            if d == 0:
+                break
+            if d == 1:
+                wch = window[i - 1 + k]
+                if wch != read[i - 1]:
+                    mism[i - 1] = True
+                    n_mis += 1
+                ops_rev.append("M")
+                i -= 1
+            elif d == 2:
+                state = "F"
+            else:
+                state = "E"
+        elif state == "F":  # insertion in read: consume read char, k+1
+            ops_rev.append("I")
+            opened = Fsrc[i][k]
+            i -= 1
+            k += 1
+            if opened:
+                state = "H"
+        else:  # E: deletion (consume genome char), k-1
+            ops_rev.append("D")
+            opened = Esrc[i][k]
+            k -= 1
+            if opened:
+                state = "H"
+    read_start = i  # chars 0..i-1 soft-clipped
+    ops_rev.reverse()
+    # run-length encode
+    ops = []
+    for c in ops_rev:
+        if ops and ops[-1][0] == c:
+            ops[-1][1] += 1
+        else:
+            ops.append([c, 1])
+    read_end = read_start + sum(n for c, n in ops if c in "MI")
+    g_off = -params.band + k + 0  # window offset of top-left vs nominal start
+    # indel events at read cycles (processErrorTypes: index = read coordinate
+    # where the event begins, forward-strand convention; caller flips for rev)
+    ins_events, del_events = [], []
+    cyc = read_start
+    for c, n in ops:
+        if c == "M":
+            cyc += n
+        elif c == "I":
+            ins_events.append((cyc, n))
+            cyc += n
+        elif c == "D":
+            del_events.append((cyc, n))
+    return dict(score=int(best), ops=[(c, n) for c, n in ops],
+                read_start=int(read_start), read_end=int(read_end),
+                g_off=int(g_off), n_mis=int(n_mis), mism=mism,
+                ins_events=ins_events, del_events=del_events)

@@ -352,9 +352,18 @@ class Aligner:
 
     def __init__(self, index: KmerIndex, params: AlignParams = AlignParams(),
                  batch_size: int = 8192, two_tier: bool = True,
-                 cheap_params: AlignParams | None = None, mesh=None):
+                 cheap_params: AlignParams | None = None, mesh=None,
+                 indel_tier: bool = True, indel_min_clip: int = 4,
+                 banded_params=None):
         self.index = index
         self.params = params
+        self.indel_tier = indel_tier
+        self.indel_min_clip = indel_min_clip
+        if banded_params is None:
+            from .banded import BandedParams
+
+            banded_params = BandedParams()
+        self.banded_params = banded_params
         self.mesh = mesh
         self._shd = None
         if mesh is not None:
@@ -447,7 +456,10 @@ class Aligner:
         if (not self.two_tier
                 or (self.cheap_params.n_seeds >= p.n_seeds
                     and self.cheap_params.hits_per_seed >= p.hits_per_seed)):
-            return self._align_pass(seq, lengths, p)
+            out = self._align_pass(seq, lengths, p)
+            if out and self.indel_tier:
+                self._banded_escalate(seq, lengths, out)
+            return out
         out = self._align_pass(seq, lengths, self.cheap_params)
         if not out:
             return out
@@ -464,4 +476,94 @@ class Aligner:
             full = self._align_pass(seq[rows], lengths[rows], p)
             for kk, v in full.items():
                 out[kk][rows] = v
+        if self.indel_tier:
+            self._banded_escalate(seq, lengths, out)
         return out
+
+    def _banded_escalate(self, seq, lengths, out) -> None:
+        """Indel tier: banded affine-gap SW over reads the gapless scorer
+        clipped or rejected (bowtie2-equivalent I/D alignments; the reference
+        learns inPos/inLengths/delPos/delLengths from these CIGARs,
+        Figbird.cpp:291-487, and spots xMyIzM gap spanners,
+        Preprocess.cpp:885-925).
+
+        Mutates ``out`` in place for winners (banded beats gapless) and
+        attaches ``out["indel"]`` (bool mask) + ``out["indel_detail"]``
+        ({row: traceback dict, events in aligned-orientation read cycles}).
+        """
+        from .banded import banded_scores_device, host_traceback
+
+        bp = self.banded_params
+        p = self.params
+        cl = out["clip_start"] + out["clip_end"]
+        cand = (out["aligned"] & (cl >= self.indel_min_clip)) | (
+            ~out["aligned"] & (out["score"] > 0))
+        rows = np.flatnonzero(cand)
+        n_all = len(lengths)
+        out["indel"] = np.zeros(n_all, bool)
+        out["indel_detail"] = {}
+        if not rows.size:
+            return
+        L = seq.shape[1]
+        # orient reads as aligned (banded re-scores the chosen strand)
+        rc_needed = np.flatnonzero(out["strand"][rows] == 1)
+        oriented = seq[rows].copy()
+        if rc_needed.size:
+            import jax as _jax
+
+            sub = oriented[rc_needed]
+            rc = _jax.device_get(_revcomp_batch(
+                jnp.asarray(sub), jnp.asarray(lengths[rows][rc_needed]
+                                              .astype(np.int32))))
+            oriented[rc_needed] = rc
+        bs = self.batch_size
+        scores = np.empty(rows.size, np.int32)
+        for i in range(0, rows.size, bs):
+            sl = slice(i, min(i + bs, rows.size))
+            chunk = oriented[sl]
+            lens_c = lengths[rows[sl]].astype(np.int32)
+            starts = out["pos"][rows[sl]].astype(np.int32)
+            m = len(chunk)
+            if m < bs:
+                chunk = np.concatenate(
+                    [chunk, np.full((bs - m, L), GAP_CODE, np.int8)])
+                lens_c = np.concatenate([lens_c, np.zeros(bs - m, np.int32)])
+                starts = np.concatenate(
+                    [starts, np.zeros(bs - m, np.int32)])
+            res = banded_scores_device(
+                self._flat2d, jnp.asarray(starts), jnp.asarray(chunk),
+                jnp.asarray(lens_c), bp)
+            scores[sl] = np.asarray(res["score"])[:m]
+        min_score = (p.min_score_const
+                     + p.min_score_log * np.log(np.maximum(
+                         lengths[rows], 2).astype(np.float64)))
+        win_mask = (scores > out["score"][rows]) & (scores >= min_score)
+        flat = self.index.flat
+        for ri in np.flatnonzero(win_mask):
+            row = int(rows[ri])
+            ln = int(lengths[row])
+            pos = int(out["pos"][row])
+            w0 = pos - bp.band
+            if w0 < 0 or w0 + ln + 2 * bp.band > len(flat):
+                continue
+            tb = host_traceback(oriented[ri], flat[w0 : w0 + ln + 2 * bp.band],
+                                ln, bp)
+            if tb is None or tb["score"] != int(scores[ri]):
+                continue  # band-edge disagreement: keep the gapless result
+            has_indel = bool(tb["ins_events"] or tb["del_events"])
+            galen = ((tb["read_end"] - tb["read_start"])
+                     + sum(n for _, n in tb["del_events"])
+                     - sum(n for _, n in tb["ins_events"]))
+            out["score"][row] = tb["score"]
+            out["pos"][row] = pos + tb["g_off"]
+            out["clip_start"][row] = tb["read_start"]
+            out["clip_end"][row] = ln - tb["read_end"]
+            out["n_mis"][row] = tb["n_mis"]
+            out["mism"][row, :] = False
+            out["mism"][row, : len(tb["mism"])] = tb["mism"]
+            out["alen"][row] = galen
+            out["aligned"][row] = True
+            out["unique"][row] = tb["score"] > int(out["second"][row])
+            out["indel"][row] = has_indel
+            if has_indel:
+                out["indel_detail"][row] = tb

@@ -231,7 +231,11 @@ def plan_gaps(genome: Genome, gaps: list[GapInfo], bundles: list[GapBundle],
                 continue
 
         if partial_mode and b.n_partial:
-            plan.perfect_flag, plan.perfect_len = _find_perfect_mim(plan)
+            if getattr(b, "mim_flag", 0):
+                # native MIM from the banded aligner tier (checkMIM parity)
+                plan.perfect_flag, plan.perfect_len = b.mim_flag, b.mim_len
+            else:
+                plan.perfect_flag, plan.perfect_len = _find_perfect_mim(plan)
 
         if sl < 10:
             plan.side_flag = True

@@ -81,12 +81,19 @@ def collect_stats(
     input_mean: float = 0.0,
     max_read_length: int | None = None,
     chunk: int = 65536,
+    indel_events: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> ModelStats:
     """Build sufficient statistics from model-set alignments.
 
-    Mirrors processMapping + processErrorTypes for gapless alignments (our
-    model set excludes clipped/indel reads, so indel statistics keep their
-    add-one priors — identical to the reference on an indel-free SAM).
+    Mirrors processMapping + processErrorTypes.  ``indel_events``, when
+    given, is (ins, del) — each an (E, 3) int array of
+    (cycle, length, strand) per I/D event from the banded aligner tier
+    (already restricted to model-set reads); they populate
+    inPos/inLengths/delPos/delLengths per processErrorTypes
+    (Figbird.cpp:339-372: cycle flipped to original-read orientation on the
+    reverse strand, length histogram at length-1).  Cycles arrive in
+    aligned-read orientation; ``rlen`` for the flip is taken per event as
+    column 3 when present, else max_read_length.
     """
     n, L = reads_oriented.shape
     Lmax = int(max_read_length or L)
@@ -105,6 +112,20 @@ def collect_stats(
     st.unique_mapped += n
     st.read_lengths += np.bincount(
         np.clip(lengths - 1, 0, Lmax - 1), minlength=Lmax)[:Lmax]
+
+    if indel_events is not None:
+        for ev, pos_hist, len_hist in (
+                (indel_events[0], st.in_pos, st.in_lengths),
+                (indel_events[1], st.del_pos, st.del_lengths)):
+            ev = np.asarray(ev, np.int64).reshape(-1, 4)
+            if not len(ev):
+                continue
+            cyc, ln, ev_strand, rlen = ev.T
+            cyc = np.where(ev_strand == 0, cyc, rlen - cyc - 1)
+            pos_hist += np.bincount(np.clip(cyc, 0, Lmax - 1),
+                                    minlength=Lmax)[:Lmax]
+            len_hist += np.bincount(np.clip(ln - 1, 0, Lmax - 1),
+                                    minlength=Lmax)[:Lmax]
 
     for i0 in range(0, n, chunk):
         sl = slice(i0, min(i0 + chunk, n))

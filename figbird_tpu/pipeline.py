@@ -108,13 +108,25 @@ def _learn_model(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
     strands = np.concatenate([a1["strand"][m], a2["strand"][m]])
     mism = np.concatenate([a1["mism"][m], a2["mism"][m]])
     clr = contig_lengths[np.concatenate([pt.contig[m, 0], pt.contig[m, 1]])]
+    # indel events from the banded tier for model-set reads
+    # (processErrorTypes I/D accounting, Figbird.cpp:339-372)
+    ins_ev, del_ev = [], []
+    for a, rb in ((a1, r1), (a2, r2)):
+        for row, tb in a.get("indel_detail", {}).items():
+            if not m[row]:
+                continue
+            sr, rl = int(a["strand"][row]), int(rb.length[row])
+            ins_ev += [(c, n, sr, rl) for c, n in tb["ins_events"]]
+            del_ev += [(c, n, sr, rl) for c, n in tb["del_events"]]
     st = collect_stats(idx.flat, reads, lens, wins, strands, mism,
                        inserts=np.concatenate([pt.insert[m],
                                                np.zeros(n_model, np.int64)]),
                        contig_len_of_read=np.concatenate(
                            [clr[:n_model], np.zeros(n_model)]),
                        input_mean=input_mean,
-                       max_read_length=int(max(r1.seq.shape[1], r2.seq.shape[1])))
+                       max_read_length=int(max(r1.seq.shape[1], r2.seq.shape[1])),
+                       indel_events=(np.array(ins_ev, np.int64).reshape(-1, 4),
+                                     np.array(del_ev, np.int64).reshape(-1, 4)))
     model = finalize_model(st, contig_lengths, partial_flag=partial_flag,
                            partial_len=partial_len)
     # gap-prob cutoff from mate2 error probabilities (computeLikelihood side
@@ -236,7 +248,7 @@ class Pipeline:
         with self.timer.stage("triage"):
             tri = Triage(gaps, max_distance=maxD1,
                          read_mean=m_lib.avg_insert_size, is_jump=False)
-            tri.collect_partial(pt, r1, r2)
+            tri.collect_partial(pt, r1, r2, align1=a1, align2=a2)
         bundles = tri.bundles
         n_pairs = len(r1)
         reductions: dict[int, np.ndarray] = {}

@@ -32,6 +32,7 @@ class SimConfig:
     insert_sd: float = 30.0
     coverage: float = 30.0
     error_rate: float = 0.005
+    indel_rate: float = 0.0   # per-read probability of one 1-3bp ins/del
     seed: int = 0
 
 
@@ -92,18 +93,23 @@ def simulate(cfg: SimConfig) -> SimData:
     L = cfg.read_len
     seq1 = np.zeros((n_pairs, L), dtype=np.int8)
     seq2 = np.zeros((n_pairs, L), dtype=np.int8)
+    EXT = 3  # extra template chars so deletion reads stay full-length
+    ext1 = np.zeros((n_pairs, L + EXT), dtype=np.int8)
+    ext2 = np.zeros((n_pairs, L + EXT), dtype=np.int8)
     for k in range(cfg.n_contigs):
         m = np.flatnonzero(ci == k)
         if m.size == 0:
             continue
         c = contigs[k]
-        idx1 = starts[m][:, None] + np.arange(L)[None, :]
-        seq1[m] = c[idx1]
+        idx1 = starts[m][:, None] + np.arange(L + EXT)[None, :]
+        ext1[m] = c[np.clip(idx1, 0, len(c) - 1)]
         ends = starts[m] + inserts[m]
-        idx2 = ends[:, None] - 1 - np.arange(L)[None, :]  # reversed slice
+        idx2 = ends[:, None] - 1 - np.arange(L + EXT)[None, :]  # reversed
         from .dtypes import COMPLEMENT
 
-        seq2[m] = COMPLEMENT[c[idx2]]
+        ext2[m] = COMPLEMENT[c[np.clip(idx2, 0, len(c) - 1)]]
+    seq1[:] = ext1[:, :L]
+    seq2[:] = ext2[:, :L]
 
     # sequencing errors: substitute uniformly at error_rate
     for seq in (seq1, seq2):
@@ -111,6 +117,27 @@ def simulate(cfg: SimConfig) -> SimData:
         if errs.any():
             shift = rng.integers(1, 4, size=int(errs.sum()), dtype=np.int8)
             seq[errs] = (seq[errs] + shift) % 4
+
+    # sequencing indels: with indel_rate per read, one 1-3bp event at a
+    # random interior cycle — insertion shifts the tail right (random bases
+    # in), deletion shifts it left (next truth chars slide in; the tail
+    # beyond the template is re-drawn randomly, matching a short template
+    # over-read)
+    if cfg.indel_rate > 0:
+        for seq, ext in ((seq1, ext1), (seq2, ext2)):
+            hit = np.flatnonzero(rng.random(n_pairs) < cfg.indel_rate)
+            for i in hit:
+                n = int(rng.integers(1, EXT + 1))
+                c0 = int(rng.integers(10, L - 10 - n))
+                if rng.random() < 0.5:  # insertion
+                    ins = rng.integers(0, 4, n, dtype=np.int8)
+                    seq[i] = np.concatenate([seq[i][:c0], ins,
+                                             seq[i][c0 : L - n]])
+                else:  # deletion: later template chars slide in; the tail
+                    # comes from the extended window so the read stays
+                    # full-length against the truth
+                    seq[i] = np.concatenate([seq[i][:c0],
+                                             ext[i][c0 + n : L + n]])
 
     lens_arr = np.full(n_pairs, L, dtype=np.int32)
     qual = np.full((n_pairs, L), ord("I"), dtype=np.uint8)

@@ -56,6 +56,8 @@ class GapBundle:
     p_pos: list = field(default_factory=list)       # read SAM pos (1-based)
     p_refpos: list = field(default_factory=list)    # mate SAM pos or -1
     p_qual: list = field(default_factory=list)      # per-base error prob arrays
+    mim_flag: int = 0   # checkMIM (Preprocess.cpp:885-925): xMyIzM spanner seen
+    mim_len: int = 0    # implied gap length (i_len + 1)
     _u_hashes: set = field(default_factory=set)
     _p_hashes: set = field(default_factory=set)
 
@@ -316,22 +318,34 @@ class Triage:
 
     def collect_partial(self, pt: PairTable, reads1: ReadBatch, reads2: ReadBatch,
                         oriented1: np.ndarray | None = None,
-                        oriented2: np.ndarray | None = None) -> None:
+                        oriented2: np.ndarray | None = None,
+                        align1: dict | None = None,
+                        align2: dict | None = None) -> None:
         """Partial pass (samflag==1): clipped/overhanging mates -> partial bundles.
 
         ``oriented{1,2}`` are the reads in reference orientation (RC'd when the
         alignment is on the reverse strand) — the SAM SEQ field equivalent.
         When omitted, candidate rows (a small subset) are oriented on the fly,
         which avoids materialising full-batch RC copies.
+
+        ``align{1,2}`` (aligner output dicts) enable the indel path: reads the
+        banded tier aligned with I/D ops count as non-perfect (CIGAR != xM)
+        and xMyIzM single-insertion spanners set the per-gap MIM perfect-read
+        flag natively (checkMIM, Preprocess.cpp:885-925) instead of the
+        brute-force flank rescan fallback.
         """
         from ..dtypes import phred_to_error_prob
 
         oriented = (oriented1, oriented2)
         reads = (reads1, reads2)
+        aligns = (align1, align2)
         conc_v = np.asarray(pt.concordant)
         oa_v = np.asarray(pt.one_anchored)
         imperfect = (np.asarray(pt.clip_start).max(axis=1) > 0) | \
                     (np.asarray(pt.clip_end).max(axis=1) > 0)
+        for a in aligns:
+            if a is not None and "indel" in a:
+                imperfect = imperfect | a["indel"]
         aligned_v = np.asarray(pt.aligned)
         contig_v = np.asarray(pt.contig)
         pos_v = np.asarray(pt.pos)
@@ -394,6 +408,17 @@ class Triage:
                 qerr = None
             if gi >= 0:
                 g = self.gaps[gi]
+                a_m = aligns[m]
+                if a_m is not None and i in a_m.get("indel_detail", {}):
+                    tb = a_m["indel_detail"][i]
+                    ops = tb["ops"]
+                    # checkMIM: exactly M I M, no clips (S) or deletions
+                    if (tb["read_start"] == 0 and tb["read_end"] == rl
+                            and len(ops) == 3
+                            and [c for c, _ in ops] == ["M", "I", "M"]):
+                        b = self.bundles[gi]
+                        b.mim_flag = 1
+                        b.mim_len = ops[1][1] + 1
                 # left-anchored overhang (writePartialSam pos<gap_s branch)
                 cs, ce = int(pt.clip_start[i, m]), int(pt.clip_end[i, m])
                 if cs > 0 and ce > 0:
