@@ -45,6 +45,22 @@ class AlignParams:
     mismatch: int = -6       # bowtie2 --mp max default
     min_score_const: float = 20.0   # bowtie2 --score-min G,20,8 (local default)
     min_score_log: float = 8.0
+    # end-to-end mode (the reference's unmapped pass, RunFigbird.sh:329-333:
+    # default bowtie2, no --local): no free clipping — the full read scores
+    # and the min-score is linear in length.  bowtie2's default e2e bar
+    # L,-0.6,-0.6 with 0 match bonus admits ~(0.6+0.6L)/6 worst-case
+    # mismatches; translated to this scorer's +2/-6 scale that is
+    # score >= 1.2*L - 0.8.
+    end_to_end: bool = False
+    e2e_min_per_base: float = 1.2
+    e2e_min_const: float = -0.8
+
+
+def e2e_params(p: "AlignParams") -> "AlignParams":
+    """The unmapped-pass preset: same seeding, end-to-end scoring."""
+    from dataclasses import replace
+
+    return replace(p, end_to_end=True)
 
 
 def _revcomp_batch(reads: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
@@ -261,13 +277,19 @@ def _align_one_strand(flat2d, flatlen, tables, reads, lengths,
         sc["local"] = jnp.where(hmask, sc["local"], NEG)
     else:
         sc = _score_candidates(flat2d, reads, cand, hmask, p.match, p.mismatch)
-    bi = jnp.argmax(sc["local"], axis=-1)
+    if p.end_to_end:
+        # unmapped-pass semantics (RunFigbird.sh:329-333, default bowtie2):
+        # no free clipping — rank candidates by the full-read score
+        sc["sel"] = jnp.where(hmask, sc["e2e"], NEG)
+    else:
+        sc["sel"] = sc["local"]
+    bi = jnp.argmax(sc["sel"], axis=-1)
 
     def take(x):
         return jnp.take_along_axis(x, bi[:, None], axis=1)[:, 0]
 
     best = dict(
-        score=take(sc["local"]),
+        score=take(sc["sel"]),
         e2e=take(sc["e2e"]),
         start=take(sc["start"]),
         end=take(sc["end"]),
@@ -276,7 +298,7 @@ def _align_one_strand(flat2d, flatlen, tables, reads, lengths,
         hit_overflow=jnp.any(overflow, axis=-1),
     )
     # second best at a distinct genome position
-    others = jnp.where(cand != best["pos"][:, None], sc["local"], NEG)
+    others = jnp.where(cand != best["pos"][:, None], sc["sel"], NEG)
     best["second"] = jnp.max(others, axis=-1)
     return best
 
@@ -327,6 +349,18 @@ def align_batch_device(flat2d, flatlen, tables, reads,
         jnp.where(use_rev, rev["second"], fwd["second"]),
         jnp.where(use_rev, fwd["score"], rev["score"]),
     )
+    if params.end_to_end:
+        # linear min-score (bowtie2 default L,-0.6,-0.6 mapped to this
+        # scale), full-read span, no clips, full-read mismatch count
+        min_score = (params.e2e_min_const
+                     + params.e2e_min_per_base * lengths.astype(jnp.float32))
+        out["n_mis"] = jnp.sum(rv & ~m, axis=1)
+        out["aligned"] = out["score"].astype(jnp.float32) >= min_score
+        out["unique"] = out["aligned"] & (out["score"] > out["second"])
+        out["alen"] = lengths
+        out["clip_start"] = jnp.zeros_like(lengths)
+        out["clip_end"] = jnp.zeros_like(lengths)
+        return out
     min_score = (params.min_score_const +
                  params.min_score_log * jnp.log(jnp.maximum(lengths, 2).astype(jnp.float32)))
     out["aligned"] = out["score"].astype(jnp.float32) >= min_score
@@ -378,14 +412,12 @@ class Aligner:
             self._rep = NamedSharding(mesh, P())
         self.batch_size = batch_size
         self.two_tier = two_tier
-        self.cheap_params = cheap_params or AlignParams(
-            n_seeds=min(3, params.n_seeds),
-            hits_per_seed=min(4, params.hits_per_seed),
-            repeat_limit=params.repeat_limit,
-            match=params.match, mismatch=params.mismatch,
-            min_score_const=params.min_score_const,
-            min_score_log=params.min_score_log,
-        )
+        if cheap_params is None:
+            from dataclasses import replace as _rp
+
+            cheap_params = _rp(params, n_seeds=min(3, params.n_seeds),
+                               hits_per_seed=min(4, params.hits_per_seed))
+        self.cheap_params = cheap_params
         if index.k > 15:
             raise ValueError("device aligner requires k <= 15 (int32 k-mer codes)")
         if len(index.flat) >= 2**31:
@@ -457,7 +489,7 @@ class Aligner:
                 or (self.cheap_params.n_seeds >= p.n_seeds
                     and self.cheap_params.hits_per_seed >= p.hits_per_seed)):
             out = self._align_pass(seq, lengths, p)
-            if out and self.indel_tier:
+            if out and self.indel_tier and not p.end_to_end:
                 self._banded_escalate(seq, lengths, out)
             return out
         out = self._align_pass(seq, lengths, self.cheap_params)
@@ -476,7 +508,7 @@ class Aligner:
             full = self._align_pass(seq[rows], lengths[rows], p)
             for kk, v in full.items():
                 out[kk][rows] = v
-        if self.indel_tier:
+        if self.indel_tier and not p.end_to_end:
             self._banded_escalate(seq, lengths, out)
         return out
 

@@ -28,6 +28,7 @@ from pathlib import Path
 import numpy as np
 
 from .align import Aligner, AlignParams, build_index, build_pair_table
+from .align.core import e2e_params
 from .config import INSERT_FRAC, FigbirdConfig
 from .dtypes import N, decode
 from .genome import Genome
@@ -186,10 +187,17 @@ class Pipeline:
         self.timer = StageTimer()
 
     # ------------------------------------------------------------------
-    def _align_lib(self, genome: Genome, lib_i: int, max_insert: int):
+    def _align_lib(self, genome: Genome, lib_i: int, max_insert: int,
+                   end_to_end: bool = False):
+        """``end_to_end=True`` is the unmapped-pass preset: default (non
+        -local) bowtie2 semantics with the -X maxD2 insert bound
+        (RunFigbird.sh:329-333) — no soft clips, so the pass's model set
+        excludes clipped reads exactly as the reference does."""
         r1, r2 = self.libs[lib_i]
         idx = build_index(genome, k=15)
-        al = Aligner(idx, self.align_params, mesh=self.mesh,
+        params = e2e_params(self.align_params) if end_to_end \
+            else self.align_params
+        al = Aligner(idx, params, mesh=self.mesh,
                      **self.aligner_kwargs)
         t0 = time.time()
         a1 = al.align(r1.seq, r1.length)
@@ -265,7 +273,9 @@ class Pipeline:
             if self.use_genome_reduction and not t_lib.is_jump:
                 genome2, remap = genome.reduce_to_gapped()
                 gaps2 = genome2.find_gaps()
-            idx2, b1, b2, pt2 = self._align_lib(genome2, lib_i, max_insert=maxD2)
+            idx2, b1, b2, pt2 = self._align_lib(genome2, lib_i,
+                                                max_insert=maxD2,
+                                                end_to_end=True)
             n_pairs += len(self.libs[lib_i][0])
             # jump pre-pass model relearn (insert bound > 250)
             if maxD2 > 250:

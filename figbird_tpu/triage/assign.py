@@ -176,10 +176,12 @@ class Triage:
     def _checkpos2_vec(self, contig: np.ndarray, pos1: np.ndarray,
                        rl: np.ndarray) -> np.ndarray:
         """Vectorised _checkpos2: first gap with pos1 <= start < pos1+rl-1."""
+        if len(self._gs_key) == 0:
+            return np.full(len(contig), -1, np.int64)
         key = contig.astype(np.int64) * self._BIG + pos1
         idx = np.searchsorted(self._gs_key, key, side="left")
-        idxc = np.clip(idx, 0, max(len(self._gs_key) - 1, 0))
-        ok = (len(self._gs_key) > 0) & (idx < len(self._gs_key))
+        idxc = np.clip(idx, 0, len(self._gs_key) - 1)
+        ok = idx < len(self._gs_key)
         start_key = self._gs_key[idxc]
         ok = ok & (start_key - (rl - 1) < key) & (start_key // self._BIG ==
                                                   contig)

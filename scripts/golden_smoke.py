@@ -4,10 +4,13 @@ the SAME injected SAM; print timings + artifact diffs.
 Usage: python scripts/golden_smoke.py [scale]
 """
 import os, sys, time
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+# env-var pinning alone still initialises the axon TPU plugin (and hangs when
+# the tunnel is busy); the config pin is authoritative
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 

@@ -151,3 +151,41 @@ def test_align_reads_spanning_gap_flank(sim):
     assert ref_start == idx_d.offsets[g.contig] + start
     # clipped at the gap edge: ~50 chars aligned
     assert res["clip_end"][0] >= 40
+
+
+def test_end_to_end_mode():
+    """Unmapped-pass preset (RunFigbird.sh:329-333, default bowtie2): no free
+    clipping — a gap-edge overhanging read that local mode clips must be
+    REJECTED in e2e mode, while clean full-length reads still align."""
+    import numpy as np
+    from figbird_tpu.align import Aligner, AlignParams, build_index
+    from figbird_tpu.align.core import e2e_params
+    from figbird_tpu.genome import Genome
+    from figbird_tpu.dtypes import N
+
+    rng = np.random.default_rng(3)
+    truth = rng.integers(0, 4, 4000, dtype=np.int8)
+    draft = truth.copy()
+    draft[2000:2040] = N  # a 40bp gap
+    genome = Genome(["c"], [draft])
+    idx = build_index(genome, k=15)
+
+    L = 100
+    clean = truth[500:600].copy()
+    overhang = truth[1950:2050].copy()  # 50 flank chars + 50 into the gap
+    reads = np.stack([clean, overhang])
+    lens = np.full(2, L, np.int32)
+
+    local = Aligner(idx, AlignParams(), batch_size=64, two_tier=False,
+                    indel_tier=False)
+    a_loc = local.align(reads, lens)
+    assert a_loc["aligned"][0] and a_loc["aligned"][1]
+    assert a_loc["clip_end"][1] >= 45  # local mode clips the gap overhang
+
+    e2e = Aligner(idx, e2e_params(AlignParams()), batch_size=64,
+                  two_tier=False, indel_tier=False)
+    a_e2e = e2e.align(reads, lens)
+    assert a_e2e["aligned"][0]
+    assert not a_e2e["aligned"][1]  # e2e: 50 N-mismatches sink the read
+    assert a_e2e["clip_start"][0] == 0 and a_e2e["clip_end"][0] == 0
+    assert a_e2e["n_mis"][0] == 0
