@@ -109,6 +109,138 @@ def banded_scores_device(flat2d, starts, reads, lengths,
     return dict(score=best, end_i=bi, end_k=bk)
 
 
+def host_traceback_batch(reads: np.ndarray, windows: np.ndarray,
+                         rlens: np.ndarray, params: BandedParams):
+    """Vectorised banded DP + traceback for a winner batch.
+
+    reads (W, L) aligned-orientation; windows (W, L+2*band); rlens (W,).
+    Forward pass is numpy-vectorised across the batch (one python iteration
+    per read row, not per cell); traceback per read is O(path length) using
+    stored pointers, with deletion runs recovered in ONE jump via the lazy-E
+    argmax (k -> k'), so a thousand winners cost ~0.1 s, not seconds.
+
+    Returns a list of per-read dicts shaped like :func:`host_traceback`.
+    """
+    Wn, L = reads.shape
+    bd = params.band
+    K = 2 * bd + 1
+    op_, ex = params.gap_open, params.gap_extend
+    mt, ms = params.match, params.mismatch
+    kk = np.arange(K)
+
+    H = np.zeros((Wn, K), np.int64)
+    F = np.full((Wn, K), NEG, np.int64)
+    ptr = np.zeros((L + 1, Wn, K), np.int8)   # 0 stop 1 diag 2 F 3 E
+    eksrc = np.zeros((L + 1, Wn, K), np.int8)  # E jump target k'
+    fopen = np.zeros((L + 1, Wn, K), bool)     # F opened (vs extended)
+    best = np.zeros(Wn, np.int64)
+    bi = np.zeros(Wn, np.int64)
+    bk = np.zeros(Wn, np.int64)
+    live_max = int(rlens.max()) if Wn else 0
+    for i in range(live_max):
+        rch = reads[:, i : i + 1]
+        wrow = windows[:, i : i + K]
+        sub = np.where((wrow == rch) & (wrow != GAP_CODE), mt, ms)
+        diag = H + sub
+        H_up = np.concatenate([H[:, 1:], np.full((Wn, 1), NEG)], axis=1)
+        F_up = np.concatenate([F[:, 1:], np.full((Wn, 1), NEG)], axis=1)
+        f_open = H_up + op_ >= F_up + ex
+        Fn = np.where(f_open, H_up + op_, F_up + ex)
+        fopen[i + 1] = f_open
+        H_noE = np.maximum(np.maximum(diag, Fn), 0)
+        # lazy-E with argmax tracking
+        g = H_noE - ex * kk[None, :]
+        m = np.maximum.accumulate(g, axis=1)
+        marg = np.where(g == m, kk[None, :], 0)
+        marg = np.maximum.accumulate(marg, axis=1)  # argmax of running max
+        m_shift = np.concatenate([np.full((Wn, 1), NEG), m[:, :-1]], axis=1)
+        ks_shift = np.concatenate([np.zeros((Wn, 1), np.int64),
+                                   marg[:, :-1]], axis=1)
+        E = m_shift + op_ + ex * (kk[None, :] - 1)
+        Hn = np.maximum(np.maximum(H_noE, E), 0)
+        # ptr encodes the H_noE source (0 stop, 1 diag, 2 F) in bits 0-1 and
+        # "E wins over H_noE" (a deletion run ending here) in bit 2
+        p = np.zeros((Wn, K), np.int8)
+        p[diag == H_noE] = 1
+        p[Fn == H_noE] = 2
+        p[H_noE == 0] = 0
+        p |= (E > H_noE).astype(np.int8) << 2
+        ptr[i + 1] = p
+        eksrc[i + 1] = ks_shift.astype(np.int8)
+        live = i < rlens
+        H = np.where(live[:, None], Hn, H)
+        F = np.where(live[:, None], Fn, F)
+        row_best = H.max(axis=1)
+        upd = live & (row_best > best)
+        best = np.where(upd, row_best, best)
+        bi = np.where(upd, i + 1, bi)
+        bk = np.where(upd, H.argmax(axis=1), bk)
+
+    out = []
+    for w in range(Wn):
+        rlen = int(rlens[w])
+        if best[w] <= 0:
+            out.append(None)
+            continue
+        i, k = int(bi[w]), int(bk[w])
+        ops_rev = []
+        mism = np.zeros(L, bool)
+        n_mis = 0
+        state = "H"
+        while i > 0:
+            if state == "H":
+                p = int(ptr[i, w, k])
+                if p & 4:  # deletion run ending here: one E jump k -> k'
+                    kp = int(eksrc[i, w, k])
+                    ops_rev.append(("D", k - kp))
+                    k = kp
+                    p = int(ptr[i, w, k])
+                d = p & 3
+                if d == 0:
+                    break
+                if d == 1:
+                    wch = windows[w, i - 1 + k]
+                    if wch != reads[w, i - 1]:
+                        mism[i - 1] = True
+                        n_mis += 1
+                    ops_rev.append(("M", 1))
+                    i -= 1
+                else:
+                    state = "F"
+            else:  # F: insertion step (i-1, k+1) -> (i, k)
+                ops_rev.append(("I", 1))
+                opened = fopen[i, w, k]
+                i -= 1
+                k += 1
+                if opened:
+                    state = "H"
+        ops_rev.reverse()
+        ops = []
+        for c, n in ops_rev:
+            if ops and ops[-1][0] == c:
+                ops[-1][1] += n
+            else:
+                ops.append([c, n])
+        read_start = i
+        read_end = read_start + sum(n for c, n in ops if c in "MI")
+        g_off = -bd + k
+        ins_events, del_events = [], []
+        cyc = read_start
+        for c, n in ops:
+            if c == "M":
+                cyc += n
+            elif c == "I":
+                ins_events.append((cyc, n))
+                cyc += n
+            else:
+                del_events.append((cyc, n))
+        out.append(dict(score=int(best[w]), ops=[(c, n) for c, n in ops],
+                        read_start=int(read_start), read_end=int(read_end),
+                        g_off=int(g_off), n_mis=int(n_mis), mism=mism[:rlen],
+                        ins_events=ins_events, del_events=del_events))
+    return out
+
+
 def host_traceback(read: np.ndarray, window: np.ndarray, rlen: int,
                    params: BandedParams):
     """Full banded DP with pointers for ONE read; returns alignment detail.

@@ -388,11 +388,12 @@ class Aligner:
                  batch_size: int = 8192, two_tier: bool = True,
                  cheap_params: AlignParams | None = None, mesh=None,
                  indel_tier: bool = True, indel_min_clip: int = 4,
-                 banded_params=None):
+                 indel_win_margin: int = 4, banded_params=None):
         self.index = index
         self.params = params
         self.indel_tier = indel_tier
         self.indel_min_clip = indel_min_clip
+        self.indel_win_margin = indel_win_margin
         if banded_params is None:
             from .banded import BandedParams
 
@@ -523,7 +524,7 @@ class Aligner:
         attaches ``out["indel"]`` (bool mask) + ``out["indel_detail"]``
         ({row: traceback dict, events in aligned-orientation read cycles}).
         """
-        from .banded import banded_scores_device, host_traceback
+        from .banded import banded_scores_device, host_traceback_batch
 
         bp = self.banded_params
         p = self.params
@@ -569,33 +570,46 @@ class Aligner:
         min_score = (p.min_score_const
                      + p.min_score_log * np.log(np.maximum(
                          lengths[rows], 2).astype(np.float64)))
-        win_mask = (scores > out["score"][rows]) & (scores >= min_score)
+        # margin: a banded "win" of < margin over the gapless score is noise
+        # (a spurious 1bp gap recovering a clipped mismatch), not an indel —
+        # real 1-3bp indels on clean reads gain 2*clip - gap_cost >> margin
+        win_mask = (scores > out["score"][rows] + self.indel_win_margin) & \
+            (scores >= min_score)
         flat = self.index.flat
-        for ri in np.flatnonzero(win_mask):
-            row = int(rows[ri])
-            ln = int(lengths[row])
-            pos = int(out["pos"][row])
-            w0 = pos - bp.band
-            if w0 < 0 or w0 + ln + 2 * bp.band > len(flat):
+        win_ri = np.flatnonzero(win_mask)
+        bd = bp.band
+        for c0 in range(0, win_ri.size, 4096):
+            wr = win_ri[c0 : c0 + 4096]
+            pos_w = out["pos"][rows[wr]].astype(np.int64)
+            lens_w = lengths[rows[wr]].astype(np.int64)
+            okb = (pos_w - bd >= 0) & (pos_w - bd + L + 2 * bd <= len(flat))
+            wr = wr[okb]
+            if not wr.size:
                 continue
-            tb = host_traceback(oriented[ri], flat[w0 : w0 + ln + 2 * bp.band],
-                                ln, bp)
-            if tb is None or tb["score"] != int(scores[ri]):
-                continue  # band-edge disagreement: keep the gapless result
-            has_indel = bool(tb["ins_events"] or tb["del_events"])
-            galen = ((tb["read_end"] - tb["read_start"])
-                     + sum(n for _, n in tb["del_events"])
-                     - sum(n for _, n in tb["ins_events"]))
-            out["score"][row] = tb["score"]
-            out["pos"][row] = pos + tb["g_off"]
-            out["clip_start"][row] = tb["read_start"]
-            out["clip_end"][row] = ln - tb["read_end"]
-            out["n_mis"][row] = tb["n_mis"]
-            out["mism"][row, :] = False
-            out["mism"][row, : len(tb["mism"])] = tb["mism"]
-            out["alen"][row] = galen
-            out["aligned"][row] = True
-            out["unique"][row] = tb["score"] > int(out["second"][row])
-            out["indel"][row] = has_indel
-            if has_indel:
-                out["indel_detail"][row] = tb
+            pos_w, lens_w = pos_w[okb], lens_w[okb]
+            widx = (pos_w - bd)[:, None] + np.arange(L + 2 * bd)[None, :]
+            wins = flat[widx]
+            tbs = host_traceback_batch(oriented[wr], wins, lens_w, bp)
+            for j, tb in enumerate(tbs):
+                ri = int(wr[j])
+                row = int(rows[ri])
+                ln = int(lens_w[j])
+                if tb is None or tb["score"] != int(scores[ri]):
+                    continue  # band-edge disagreement: keep gapless result
+                has_indel = bool(tb["ins_events"] or tb["del_events"])
+                galen = ((tb["read_end"] - tb["read_start"])
+                         + sum(n for _, n in tb["del_events"])
+                         - sum(n for _, n in tb["ins_events"]))
+                out["score"][row] = tb["score"]
+                out["pos"][row] = int(pos_w[j]) + tb["g_off"]
+                out["clip_start"][row] = tb["read_start"]
+                out["clip_end"][row] = ln - tb["read_end"]
+                out["n_mis"][row] = tb["n_mis"]
+                out["mism"][row, :] = False
+                out["mism"][row, : len(tb["mism"])] = tb["mism"]
+                out["alen"][row] = galen
+                out["aligned"][row] = True
+                out["unique"][row] = tb["score"] > int(out["second"][row])
+                out["indel"][row] = has_indel
+                if has_indel:
+                    out["indel_detail"][row] = tb
