@@ -39,7 +39,15 @@ def _baseline_rps() -> float:
 
 def main():
     scale = float(os.environ.get("BENCH_SCALE", "1.0"))
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    # Persistent compile cache (the reference's analogue: its g++ binaries
+    # persist between runs).  Must be set via jax.config — the axon
+    # sitecustomize imports jax before this script's env assignments.
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from figbird_tpu.config import FigbirdConfig, Parameters, ReadLibrary
     from figbird_tpu.pipeline import Pipeline
@@ -75,14 +83,12 @@ def main():
     # pass 1: warms every jit cache (compile included); pass 2 on a fresh
     # pipeline over the SAME inputs is the steady-state production iteration
     t0 = time.time()
-    warm = Pipeline(cfg, sim.draft, [(sim.reads1, sim.reads2)],
-                    fill_kwargs={"max_scan_lengths": 48})
+    warm = Pipeline(cfg, sim.draft, [(sim.reads1, sim.reads2)])
     st = warm.run_iteration("p", 0)
     print(f"# warm-up iteration (incl. compile) {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    pipe = Pipeline(cfg, sim.draft, [(sim.reads1, sim.reads2)],
-                    fill_kwargs={"max_scan_lengths": 48})
+    pipe = Pipeline(cfg, sim.draft, [(sim.reads1, sim.reads2)])
     t0 = time.time()
     st = pipe.run_iteration("p", 0)
     wall = time.time() - t0

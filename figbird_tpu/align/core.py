@@ -63,30 +63,39 @@ def e2e_params(p: "AlignParams") -> "AlignParams":
     return replace(p, end_to_end=True)
 
 
-def _revcomp_batch(reads: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
-    """Per-read reverse complement honouring individual lengths (pad stays N).
+def shift_left_batch(x: jnp.ndarray, off: jnp.ndarray, fill) -> jnp.ndarray:
+    """out[:, j] = x[:, j + off] per row (``fill`` beyond column L).
 
-    Gather-free: arithmetic complement + full-row flip + two-level static
-    shift-selects for the per-row (L - len) realignment.  Minor-axis
-    ``take_along_axis`` costs ~7x this formulation on TPU (measured v5e).
+    Gather-free: two-level static shift-selects (offset = hi*8 + lo) — the
+    minor-axis ``take_along_axis`` alternative costs ~7x on TPU (measured
+    v5e).  ``off`` must be in [0, L].
     """
-    B, L = reads.shape
-    comp = jnp.where(reads < 4, 3 - reads, reads).astype(jnp.int8)
-    flip = comp[:, ::-1]  # reversed read sits right-aligned at column L
-    off = (L - lengths).astype(jnp.int32)
+    B, L = x.shape
+    off = off.astype(jnp.int32)
     hi = (off >> 3)[:, None]
     lo = (off & 7)[:, None]
     S1 = L + 8
-    flip_p = jnp.concatenate(
-        [flip, jnp.full((B, 8 + ((L >> 3) + 1) * 8), GAP_CODE, jnp.int8)],
-        axis=1)
-    st1 = jnp.zeros((B, S1), jnp.int8)
+    x_p = jnp.concatenate(
+        [x, jnp.full((B, 8 + ((L >> 3) + 1) * 8), fill, x.dtype)], axis=1)
+    st1 = jnp.full((B, S1), fill, x.dtype)
     for s in range((L >> 3) + 1):
-        st1 = jnp.where(hi == s, flip_p[:, 8 * s : 8 * s + S1], st1)
-    out = jnp.zeros((B, L), jnp.int8)
+        st1 = jnp.where(hi == s, x_p[:, 8 * s : 8 * s + S1], st1)
+    out = jnp.full((B, L), fill, x.dtype)
     for r in range(8):
         out = jnp.where(lo == r, st1[:, r : r + L], out)
     return out
+
+
+def to_cycle_batch(x: jnp.ndarray, lengths: jnp.ndarray, fill) -> jnp.ndarray:
+    """Re-index per-row data from aligned-orientation column j to sequencing
+    cycle (len-1-j): full flip then left-shift by (L - len)."""
+    return shift_left_batch(x[:, ::-1], x.shape[1] - lengths, fill)
+
+
+def _revcomp_batch(reads: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Per-read reverse complement honouring individual lengths (pad stays N)."""
+    comp = jnp.where(reads < 4, 3 - reads, reads).astype(jnp.int8)
+    return shift_left_batch(comp[:, ::-1], (reads.shape[1] - lengths), GAP_CODE)
 
 
 def _seed_codes(reads, lengths, k: int, n_seeds: int):
@@ -440,16 +449,23 @@ class Aligner:
             self._tables = jax.device_put(self._tables, self._rep)
 
     def _align_pass(self, seq: np.ndarray, lengths: np.ndarray,
-                    params: AlignParams) -> dict[str, np.ndarray]:
+                    params: AlignParams, keep: bool = False
+                    ) -> dict[str, np.ndarray]:
         """One full-batch alignment pass with the given params.
 
         Dispatch is fully asynchronous: per-batch results stay on device until
         every batch has been queued, so XLA pipelines compute with host prep
         and D2H transfers (syncing per batch costs ~10x, measured on v5e).
+
+        ``keep=True`` retains the device-resident (chunk, lens) pairs in
+        ``self._stats_handle`` so the model-stats passes can reuse them
+        without re-uploading the reads (see ``model_stats``).
         """
         n, L = seq.shape
         bs = self.batch_size
         outs: list[dict] = []
+        if keep:
+            self._stats_handle = []
         for i in range(0, n, bs):
             chunk = seq[i : i + bs]
             lens = lengths[i : i + bs]
@@ -466,6 +482,8 @@ class Aligner:
 
                 dev_chunk = _jax.device_put(dev_chunk, self._shd)
                 dev_lens = _jax.device_put(dev_lens, self._shd)
+            if keep:
+                self._stats_handle.append((dev_chunk, dev_lens))
             res = align_batch_device(
                 self._flat2d, self._flatlen, self._tables,
                 dev_chunk, dev_lens,
@@ -483,17 +501,26 @@ class Aligner:
             cat.pop("mism_packed"), axis=1, count=L).astype(bool)
         return cat
 
-    def align(self, seq: np.ndarray, lengths: np.ndarray) -> dict[str, np.ndarray]:
-        """Align all reads; returns numpy dict (padded batching internally)."""
+    def align(self, seq: np.ndarray, lengths: np.ndarray,
+              keep_stats: bool = False) -> dict[str, np.ndarray]:
+        """Align all reads; returns numpy dict (padded batching internally).
+
+        ``keep_stats=True``: retain device-resident read chunks so the model
+        stats passes (``model_stats`` / ``model_err_log10``) can run without
+        re-uploading; caller owns the returned handle.
+        """
         p = self.params
         if (not self.two_tier
                 or (self.cheap_params.n_seeds >= p.n_seeds
                     and self.cheap_params.hits_per_seed >= p.hits_per_seed)):
-            out = self._align_pass(seq, lengths, p)
+            out = self._align_pass(seq, lengths, p, keep=keep_stats)
             if out and self.indel_tier and not p.end_to_end:
                 self._banded_escalate(seq, lengths, out)
+            if keep_stats:
+                out["stats_handle"] = self._stats_handle
             return out
-        out = self._align_pass(seq, lengths, self.cheap_params)
+        out = self._align_pass(seq, lengths, self.cheap_params,
+                               keep=keep_stats)
         if not out:
             return out
         # confident = unique UNCLIPPED full-length alignment with <=3
@@ -511,7 +538,74 @@ class Aligner:
                 out[kk][rows] = v
         if self.indel_tier and not p.end_to_end:
             self._banded_escalate(seq, lengths, out)
+        if keep_stats:
+            out["stats_handle"] = self._stats_handle
         return out
+
+    # ------------------------------------------------------------------
+    def _stats_dispatch(self, fn, handle, per_read_args, extra=()):
+        """Run a per-batch jitted stats pass over retained device chunks.
+
+        ``per_read_args``: host (n,) arrays sliced/padded per batch and
+        uploaded (small).  Returns the list of per-batch device outputs
+        fetched with one device_get.
+        """
+        import jax as _jax
+
+        bs = self.batch_size
+        outs = []
+        for bi, (dev_chunk, dev_lens) in enumerate(handle):
+            i0 = bi * bs
+            args_d = []
+            for a in per_read_args:
+                sl = a[i0 : i0 + bs]
+                if len(sl) < bs:
+                    pad = np.zeros(bs - len(sl), dtype=sl.dtype)
+                    sl = np.concatenate([sl, pad])
+                d = jnp.asarray(sl)
+                if self._shd is not None:
+                    d = _jax.device_put(d, self._shd)
+                args_d.append(d)
+            outs.append(fn(self._flat2d, dev_chunk, dev_lens, *args_d, *extra))
+        return _jax.device_get(outs)
+
+    def model_stats(self, handle, pos, strand, mask):
+        """Device sufficient statistics over masked rows (see device_stats).
+
+        Returns summed dict(error_pos, error_types, base_counts, n) as host
+        arrays.  ``pos``/``strand`` are the FINAL alignment outputs (post
+        two-tier escalation); ``mask`` must exclude indel-tier rows.
+        """
+        from ..model.device_stats import stats_batch
+
+        host = self._stats_dispatch(
+            stats_batch, handle,
+            (pos.astype(np.int32), strand.astype(np.int8),
+             mask.astype(bool)))
+        out = host[0]
+        for h in host[1:]:
+            out = {kk: out[kk] + h[kk] for kk in out}
+        return out
+
+    def model_err_log10(self, handle, pos, strand, mask, model):
+        """Device computeErrorProb log10 per masked row (gapless alignments)."""
+        from ..model.device_stats import err_log10_batch, model_log10_arrays
+
+        t_cyc, lbe, let, noe = model_log10_arrays(model)
+        L = int(handle[0][0].shape[-1])
+
+        def fit(v):
+            v = np.asarray(v)
+            if len(v) < L:
+                v = np.concatenate([v, np.full(L - len(v), v[-1], v.dtype)])
+            return jnp.asarray(v[:L])
+
+        extra = (fit(t_cyc), lbe, let, fit(noe))
+        host = self._stats_dispatch(
+            err_log10_batch, handle,
+            (pos.astype(np.int32), strand.astype(np.int8),
+             mask.astype(bool)), extra=extra)
+        return np.concatenate(host)[: len(pos)]
 
     def _banded_escalate(self, seq, lengths, out) -> None:
         """Indel tier: banded affine-gap SW over reads the gapless scorer

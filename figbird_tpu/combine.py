@@ -70,6 +70,6 @@ def combine_gap_history(history: list) -> list[CombinedGap]:
 
 def write_individual_gaps(path: str | Path, combined: list[CombinedGap]) -> None:
     with open(path, "w") as fh:
-        fh.write("GapNo\tOriginal_Length\tFilled_Length\n\n")
+        fh.write("GapNo\tOriginal_Length\tFilled_Length\tseq\n\n")
         for i, cg in enumerate(combined):
             fh.write(f"{i}\t{cg.original_len}\t{len(cg.seq)}\t{decode(cg.seq)}\n")

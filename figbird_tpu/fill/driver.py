@@ -20,11 +20,14 @@ launch is a dense batch.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("figbird_tpu.fill")
 
 from ..dtypes import GAP_CODE, N
 from ..genome import GapInfo, Genome
@@ -71,35 +74,57 @@ class FillResult:
 
 # ---------------------------------------------------------------- analysis
 
+def _count_nonoverlap_hits(reads: np.ndarray, lens: np.ndarray,
+                           pat: np.ndarray) -> np.ndarray:
+    """Per-read: does ``pat`` occur >= 2 times (non-overlapping, as
+    ``bytes.count``) in the read?  Vectorised sliding-window compare."""
+    P, L = reads.shape
+    m = len(pat)
+    if m == 0 or m > L:
+        return np.zeros(P, bool)
+    nw = L - m + 1
+    # windows (P, nw, m) as a strided view — no copy
+    w = np.lib.stride_tricks.sliding_window_view(reads, m, axis=1)
+    hit = (w == pat[None, None, :]).all(axis=2)  # (P, nw)
+    hit &= np.arange(nw)[None, :] + m <= lens[:, None]
+    out = np.zeros(P, bool)
+    for r in np.flatnonzero(hit.sum(axis=1) >= 2):
+        # non-overlapping greedy count, only on candidate rows (rare)
+        posns = np.flatnonzero(hit[r])
+        cnt, nxt = 0, -1
+        for p in posns:
+            if p >= nxt:
+                cnt += 1
+                nxt = p + m
+        out[r] = cnt >= 2
+    return out
+
+
 def _find_repeats(plan: GapPlan, partial_mode: bool) -> tuple[bool, bool]:
     """findRepeat (1799-1911): flank substrings occurring >=2x in a partial read.
 
-    Returns (two_sided, one_sided).
+    Returns (two_sided, one_sided).  The reference scans flank suffixes
+    (left) / prefixes (right) longest-first and stops at the first with >=2
+    non-overlapping occurrences; occurrence counts are monotone in substring
+    containment, so the scan is equivalent to testing only the SHORTEST
+    candidate — the (n_min+1)-char left-flank suffix / right-flank prefix —
+    which vectorises to one sliding-window compare over the read matrix.
     """
     gl = plan.left_flank
     gr = plan.right_flank
     n_min = 20
-    two = one = False
-    per_read_left = {}
-    for ridx, seq in enumerate(plan.bundle.p_seq):
-        s = seq.tobytes()
-        found_left = found_right = False
-        for i in range(max(len(gl) - n_min, 0)):
-            sub = gl[i:].tobytes()
-            if s.count(sub) > 1:
-                found_left = True
-                break
-        for i in range(max(len(gr) - n_min, 0)):
-            sub = gr[: len(gr) - i].tobytes()
-            if s.count(sub) > 1:
-                found_right = True
-                break
-        if found_left or found_right:
-            one = True
-        if found_left and found_right:
-            two = True
-            break
-    return two, one
+    if not plan.bundle.p_seq:
+        return False, False
+    L = max(len(s) for s in plan.bundle.p_seq)
+    reads, lens = _pad_reads(plan.bundle.p_seq, L, len(plan.bundle.p_seq),
+                             fill=-1)
+    fl = np.zeros(len(reads), bool)
+    fr = np.zeros(len(reads), bool)
+    if len(gl) > n_min:
+        fl = _count_nonoverlap_hits(reads, lens, gl[-(n_min + 1):])
+    if len(gr) > n_min:
+        fr = _count_nonoverlap_hits(reads, lens, gr[: n_min + 1])
+    return bool((fl & fr).any()), bool((fl | fr).any())
 
 
 def _neg_gap_merge(plan: GapPlan, neg_overlap: int) -> int:
@@ -165,18 +190,33 @@ def _find_perfect_mim(plan: GapPlan, max_orig: int = 20,
     if a < 10 or len(rf) < 8:
         return 0, 0
     la = lf[-a:]
+    nr = len(rf)
     for s in plan.bundle.p_seq:
         n = len(s)
-        for p in range(0, n - a - 8):
-            if int((s[p : p + a] != la).sum()) > mism_tol:
-                continue
-            end_l = p + a
-            for ilen in range(1, min(n - end_l - 7, 3 * max_orig)):
-                b = min(len(rf), n - end_l - ilen)
+        if n <= a + 8:
+            continue
+        # left-anchor candidates: sliding-window mismatch vs the flank suffix
+        wl = np.lib.stride_tricks.sliding_window_view(s, a)
+        cand_p = np.flatnonzero(
+            (wl[: n - a - 8] != la[None, :]).sum(axis=1) <= mism_tol)
+        if not cand_p.size:
+            continue
+        # diagonal mismatch prefix sums vs rf: D[q, b] = mism(s[q:q+b], rf[:b])
+        nw = n - 8 + 1
+        wr = np.lib.stride_tricks.sliding_window_view(
+            np.concatenate([s, np.full(nr, -1, s.dtype)]), nr)[:nw]
+        D = np.concatenate(
+            [np.zeros((nw, 1), np.int32),
+             np.cumsum(wr != rf[None, :], axis=1, dtype=np.int32)], axis=1)
+        for p in cand_p:
+            end_l = int(p) + a
+            hi = min(n - end_l - 7, 3 * max_orig)
+            for ilen in range(1, hi):
+                q = end_l + ilen
+                b = min(nr, n - q)
                 if b < 8:
                     break
-                if int((s[end_l + ilen : end_l + ilen + b] != rf[:b]).sum()) \
-                        <= mism_tol:
+                if D[q, b] <= mism_tol:
                     return 1, ilen + 1
     return 0, 0
 
@@ -250,11 +290,17 @@ def plan_gaps(genome: Genome, gaps: list[GapInfo], bundles: list[GapBundle],
         lengths = list(range(lo, hi + 1))
         if g.length not in lengths:
             lengths.append(g.length)
-        if len(lengths) > max_scan_lengths:
+        if max_scan_lengths and len(lengths) > max_scan_lengths:
             # budget cap: keep a stride-sampled scan plus the original length
-            # (the reference scans every length; log the reduction)
-            stride = max(1, len(lengths) // max_scan_lengths)
-            lengths = sorted(set(lengths[::stride]) | {g.length})
+            # (the reference scans every length; pass max_scan_lengths=0 /
+            # reference_exact=True for the uncapped scan)
+            stride = -(-len(lengths) // max_scan_lengths)
+            kept = sorted(set(lengths[::stride]) | {g.length})
+            logger.info(
+                "gap %d: length scan reduced %d -> %d candidates "
+                "(stride %d; reference scans all — use reference_exact)",
+                g.start, len(lengths), len(kept), stride)
+            lengths = kept
         plan.lengths = lengths
         plans.append(plan)
     return plans
@@ -703,8 +749,12 @@ def _round_up(x, mults=(8, 16, 32, 64, 128, 256, 512, 1024, 2048, 3072)):
 # gaps, iterations and runs (persistent cache).  Replaces FillGaps.cpp's
 # size-aware thread partition (456-649) — here "load balancing" is making
 # every gap pay only its own bucket's padded shape.
-GAP_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
-COUNT_BUCKETS = (8, 32, 128, 512, 1024, 3072)
+#
+# Buckets are deliberately coarse: padded read rows / window columns are
+# nearly free on the MXU, while every extra (gap, count) combination is one
+# more XLA compile — and compiles dominate warm-up on tunnel-attached TPUs.
+GAP_BUCKETS = (128, 512, 1024, 2048, 4096, 8192)
+COUNT_BUCKETS = (128, 1024, 3072)
 
 
 def _quant(x: int, buckets) -> int:
@@ -802,12 +852,21 @@ def fill_gaps(
     neg_overlap: int = 30,
     read_len: int | None = None,
     em_iters_unmapped: int = 48,
-    instance_batch: int = 64,
+    instance_batch: int = 128,
     max_scan_lengths: int = 160,
-    scan_block: int = 16,
+    scan_block: int = 64,
     mesh=None,
+    reference_exact: bool = False,
 ) -> FillResult:
-    """Fill all gaps for one iteration (one FillGaps.cpp run equivalent)."""
+    """Fill all gaps for one iteration (one FillGaps.cpp run equivalent).
+
+    ``reference_exact=True`` disables every throughput cap that could diverge
+    from the reference's exhaustive behaviour: the candidate-length scan cap
+    (``max_scan_lengths``) and the overlap-bonus pair cap — used by the
+    golden parity tests.
+    """
+    if reference_exact:
+        max_scan_lengths = 0
     n_gaps = len(gaps)
     out_strings: list[np.ndarray] = [None] * n_gaps
     gaptofill = np.zeros(n_gaps, np.int64)
@@ -866,10 +925,14 @@ def fill_gaps(
             gap_prob_cutoff=float(model.gap_prob_cutoff),
             insert_tmin=int(model.insert_threshold_min),
             insert_tmax=int(model.insert_threshold_max),
+            bonus_cap=pb if reference_exact else 24,
         )
-        # big read counts shrink the instance batch (VMEM/HBM pressure)
-        ib = max(4, min(instance_batch,
-                        instance_batch * 64 // max(64, pb, rb)))
+        # memory-capped instance batch: live bytes per instance scale with
+        # read count x (read one-hots + two (P, Wp) weight mats); cap the
+        # batch near 1.5 GB of HBM so big-count buckets shrink but common
+        # buckets dispatch in large, low-overhead batches
+        per_inst = max(pb, rb) * (5 * cfg.L + 2 * cfg.Wp) * 8
+        ib = max(4, min(instance_batch, int(1.5e9) // max(per_inst, 1)))
         if mesh is not None:  # instance axis must divide over the mesh
             nrd = mesh.shape["reads"]
             ib = -(-ib // nrd) * nrd
@@ -932,7 +995,13 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
             pad = nb - len(r)
             gi_ = jnp.asarray(np.asarray(r + [0] * pad, np.int32))
             gl_ = jnp.asarray(np.asarray(le + [1] * pad, np.int32))
-            dev_outs.append(run_fill(gi_, gl_))
+            out = run_fill(gi_, gl_)
+            # fetch only the replay/finalize keys: the full result dict
+            # carries the (W,5) count tensors (~14 KB/instance) that the
+            # scan phase never reads — D2H of those dominates fill wall
+            # time on tunnel-attached TPUs
+            dev_outs.append({k: out[k] for k in RES_KEYS + EXT_KEYS
+                             if k in out})
         at = 0
         for out in jax.device_get(dev_outs):
             m = min(instance_batch, len(rows) - at)
@@ -985,7 +1054,7 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
                 pad = nb - len(r)
                 gi_ = jnp.asarray(np.asarray(r + [0] * pad, np.int32))
                 gl_ = jnp.asarray(np.asarray(le + [1] * pad, np.int32))
-                dev_outs.append(run_fill(gi_, gl_))
+                dev_outs.append({"valid": run_fill(gi_, gl_)["valid"]})
             at = 0
             for out in jax.device_get(dev_outs):
                 m = min(nb, len(probe_rows) - at)

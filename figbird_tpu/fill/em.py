@@ -63,6 +63,10 @@ class FillConfig:
     gap_prob_cutoff: float = 5.0
     insert_tmin: int = 0
     insert_tmax: int = 1 << 30
+    # overlap-bonus pair-candidate cap (reference enumerates all pairs; the
+    # extreme reads realise the max overlap, so the cap is loss-free in
+    # practice — reference_exact raises it to P)
+    bonus_cap: int = 24
 
 
 ONEHOT4 = np.eye(5, 4, dtype=np.float32)
@@ -259,7 +263,9 @@ def _accumulate(weights, oh_count_flat, cfg):
     return _fold_counts(cw, cfg.W)
 
 
-def _detect_overlap_partial(cfg, inst, accept, pos_gap, bonus_cap=24):
+def _detect_overlap_partial(cfg, inst, accept, pos_gap, bonus_cap=None):
+    if bonus_cap is None:
+        bonus_cap = min(cfg.bonus_cap, cfg.P)
     """detect_overlap_gapestimate (2513-2779), vectorised with capped pair sets.
 
     Returns (bonus_value, saved_left, saved_right) where bonus follows the

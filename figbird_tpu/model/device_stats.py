@@ -1,0 +1,116 @@
+"""Device-side model sufficient statistics + per-alignment error scoring.
+
+Moves the model-learning hot path of ``collect_stats`` /
+``alignment_error_log10`` (error_model.py) off the host: two small jitted
+passes run over the aligner's resident read batches, so the only H2D per
+batch is four small per-read vectors (pos/strand/length/mask) and the only
+D2H is a handful of histogram-sized arrays.
+
+Reference semantics replicated:
+
+* substitution statistics — processErrorTypes (Figbird.cpp:291-487):
+  per-cycle mismatch counts (cycle flipped to the original read orientation
+  on the reverse strand), 5x5 genome->read substitution matrix in aligned
+  orientation, base composition over the full SAM SEQ.
+* per-alignment error probability — computeErrorProb (Figbird.cpp:952-1153)
+  for gapless alignments: noErrorProbs[len-1] x per-mismatch factors.
+
+Statistics are pure masked sums, so under a sharded mesh XLA inserts the
+all-reduce automatically — this is collective merge point #1 of SURVEY §5
+(replacing each reference worker's redundant model re-learn,
+Figbird.cpp:7118-7132) running in the production path.
+
+Indel-containing alignments (banded-tier winners) cannot be scored by the
+gapless window compare; callers mask them out here and account for them on
+host via the ``indel_detail`` tracebacks (see pipeline._learn_model).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes import GAP_CODE, N_BASES
+from ..align.core import _extract_span, _revcomp_batch, to_cycle_batch
+
+
+def _aligned_view(flat2d, seq, lengths, win_pos, strand):
+    """Oriented read, genome window and masks shared by both passes."""
+    B, L = seq.shape
+    rc = _revcomp_batch(seq, lengths)
+    oriented = jnp.where((strand == 1)[:, None], rc, seq)
+    win = _extract_span(flat2d, win_pos, L)
+    jmask = jnp.arange(L)[None, :] < lengths[:, None]
+    rv = (oriented != GAP_CODE) & jmask
+    m = (win == oriented) & (win != GAP_CODE)
+    mism = rv & ~m
+    return oriented, win, jmask, mism
+
+
+@jax.jit
+def stats_batch(flat2d, seq, lengths, win_pos, strand, mask):
+    """Sufficient statistics over one read batch (masked rows only).
+
+    Returns dict(error_pos (L,), error_types (5,5), base_counts (5,), n ()).
+    """
+    B, L = seq.shape
+    oriented, win, jmask, mism = _aligned_view(flat2d, seq, lengths, win_pos,
+                                               strand)
+    mk = mask[:, None]
+    # cycle-indexed mismatch mask: flip + realign reverse-strand rows
+    mism8 = (mism & mk).astype(jnp.int8)
+    mism_cyc = jnp.where((strand == 1)[:, None],
+                         to_cycle_batch(mism8, lengths, jnp.int8(0)), mism8)
+    error_pos = jnp.sum(mism_cyc.astype(jnp.int32), axis=0)
+
+    onehot = jnp.eye(N_BASES, dtype=jnp.float32)
+    ow = onehot[jnp.clip(win, 0, 4)]        # (B, L, 5) genome "from"
+    ord_ = onehot[jnp.clip(oriented, 0, 4)]  # (B, L, 5) read "to"
+    mm = (mism & mk).astype(jnp.float32)
+    error_types = jnp.einsum("bl,blf,blt->ft", mm, ow, ord_)
+
+    base_counts = jnp.einsum("bl,blc->c", (jmask & mk).astype(jnp.float32),
+                             ord_)
+    # counts stay < 2^24 per batch, exact in f32/int32; host side sums in int64
+    return dict(error_pos=error_pos,
+                error_types=error_types.astype(jnp.int32),
+                base_counts=base_counts.astype(jnp.int32),
+                n=jnp.sum(mask.astype(jnp.int32)))
+
+
+@jax.jit
+def err_log10_batch(flat2d, seq, lengths, win_pos, strand, mask,
+                    t_cyc, lbe, let, noerr_log10):
+    """log10 computeErrorProb per read (gapless alignments).
+
+    ``t_cyc`` (L,) = log10(errorPosDist) - log10(1-e-in-del) per cycle;
+    ``lbe`` (5,) = log10(baseErrorRates); ``let`` (5,5) =
+    log10(errorTypeProbs); ``noerr_log10`` (L,) = log10(noErrorProbs).
+    Rows outside ``mask`` return 0.
+    """
+    oriented, win, jmask, mism = _aligned_view(flat2d, seq, lengths, win_pos,
+                                               strand)
+    mm8 = mism.astype(jnp.int8)
+    mism_cyc = jnp.where((strand == 1)[:, None],
+                         to_cycle_batch(mm8, lengths, jnp.int8(0)), mm8)
+    cyc_term = jnp.sum(mism_cyc.astype(jnp.float32) * t_cyc[None, :], axis=1)
+    sub = lbe[jnp.clip(win, 0, 4)] + let[jnp.clip(win, 0, 4),
+                                         jnp.clip(oriented, 0, 4)]
+    sub_term = jnp.sum(jnp.where(mism, sub, 0.0), axis=1)
+    base = noerr_log10[jnp.clip(lengths - 1, 0, noerr_log10.shape[0] - 1)]
+    return jnp.where(mask, base + cyc_term + sub_term, 0.0)
+
+
+def model_log10_arrays(model):
+    """Host -> device constant arrays for err_log10_batch, from an ErrorModel."""
+    denom = 1.0 - model.error_pos_dist - model.in_pos_dist - model.del_pos_dist
+    t_cyc = (np.log10(np.maximum(model.error_pos_dist, 1e-300))
+             - np.log10(np.maximum(denom, 1e-300)))
+    lbe = np.log10(np.maximum(model.base_error_rates, 1e-300))
+    let = np.log10(np.maximum(model.error_type_probs, 1e-300))
+    noe = np.log10(np.maximum(model.no_error_probs, 1e-300))
+    return (jnp.asarray(t_cyc, jnp.float32), jnp.asarray(lbe, jnp.float32),
+            jnp.asarray(let, jnp.float32), jnp.asarray(noe, jnp.float32))

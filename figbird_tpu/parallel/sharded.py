@@ -18,7 +18,11 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.4.35 exposes shard_map at top level; experimental is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..align.core import AlignParams, _align_one_strand, _revcomp_batch, as_rows
 from ..fill.em import FillConfig, em_partial_instance, em_unmapped_instance

@@ -95,22 +95,9 @@ def _oriented_rows(batch: ReadBatch, align: dict, rows: np.ndarray) -> np.ndarra
     return np.where(st[:, None] == 1, rc, seq)
 
 
-def _learn_model(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
-                 partial_len, input_mean=0.0) -> tuple[ErrorModel, int]:
-    m = pt.model
-    n_model = int(m.sum())
-    if n_model == 0:
-        return None, 0
-    rows = np.flatnonzero(m)
-    o1m, o2m = _oriented_rows(r1, a1, rows), _oriented_rows(r2, a2, rows)
-    reads = np.concatenate([o1m, o2m])
-    lens = np.concatenate([r1.length[m], r2.length[m]])
-    wins = np.concatenate([a1["pos"][m], a2["pos"][m]]).astype(np.int64)
-    strands = np.concatenate([a1["strand"][m], a2["strand"][m]])
-    mism = np.concatenate([a1["mism"][m], a2["mism"][m]])
-    clr = contig_lengths[np.concatenate([pt.contig[m, 0], pt.contig[m, 1]])]
-    # indel events from the banded tier for model-set reads
-    # (processErrorTypes I/D accounting, Figbird.cpp:339-372)
+def _model_indel_events(m, a1, a2, r1, r2):
+    """Indel events from the banded tier for model-set reads
+    (processErrorTypes I/D accounting, Figbird.cpp:339-372)."""
     ins_ev, del_ev = [], []
     for a, rb in ((a1, r1), (a2, r2)):
         for row, tb in a.get("indel_detail", {}).items():
@@ -119,6 +106,23 @@ def _learn_model(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
             sr, rl = int(a["strand"][row]), int(rb.length[row])
             ins_ev += [(c, n, sr, rl) for c, n in tb["ins_events"]]
             del_ev += [(c, n, sr, rl) for c, n in tb["del_events"]]
+    return (np.array(ins_ev, np.int64).reshape(-1, 4),
+            np.array(del_ev, np.int64).reshape(-1, 4))
+
+
+def _learn_model_host(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
+                      partial_len, input_mean=0.0) -> tuple[ErrorModel, int]:
+    """Host-side model learning (SAM-injected alignments, golden path)."""
+    m = pt.model
+    n_model = int(m.sum())
+    rows = np.flatnonzero(m)
+    o1m, o2m = _oriented_rows(r1, a1, rows), _oriented_rows(r2, a2, rows)
+    reads = np.concatenate([o1m, o2m])
+    lens = np.concatenate([r1.length[m], r2.length[m]])
+    wins = np.concatenate([a1["pos"][m], a2["pos"][m]]).astype(np.int64)
+    strands = np.concatenate([a1["strand"][m], a2["strand"][m]])
+    mism = np.concatenate([a1["mism"][m], a2["mism"][m]])
+    clr = contig_lengths[np.concatenate([pt.contig[m, 0], pt.contig[m, 1]])]
     st = collect_stats(idx.flat, reads, lens, wins, strands, mism,
                        inserts=np.concatenate([pt.insert[m],
                                                np.zeros(n_model, np.int64)]),
@@ -126,8 +130,7 @@ def _learn_model(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
                            [clr[:n_model], np.zeros(n_model)]),
                        input_mean=input_mean,
                        max_read_length=int(max(r1.seq.shape[1], r2.seq.shape[1])),
-                       indel_events=(np.array(ins_ev, np.int64).reshape(-1, 4),
-                                     np.array(del_ev, np.int64).reshape(-1, 4)))
+                       indel_events=_model_indel_events(m, a1, a2, r1, r2))
     model = finalize_model(st, contig_lengths, partial_flag=partial_flag,
                            partial_len=partial_len)
     # gap-prob cutoff from mate2 error probabilities (computeLikelihood side
@@ -140,6 +143,105 @@ def _learn_model(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
                                 a2["mism"][m], from2)
     model.gap_prob_cutoff = compute_gap_prob_cutoff(model, lg2)
     return model, n_model
+
+
+def _learn_model_device(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
+                        partial_len, aligner, input_mean=0.0
+                        ) -> tuple[ErrorModel, int]:
+    """Device-side model learning over the aligner's resident read batches.
+
+    Sufficient statistics are masked device sums (model/device_stats.py) —
+    collective merge point #1 of SURVEY §5 in the production path; only the
+    rare indel-tier rows (gapless window compare invalid) fall back to the
+    host ``collect_stats`` on their small subset.
+    """
+    from .model.error_model import ModelStats
+
+    m = np.asarray(pt.model)
+    n_model = int(m.sum())
+    Lmax = int(max(r1.seq.shape[1], r2.seq.shape[1]))
+    st = ModelStats(Lmax)
+
+    # insert histogram (pair-level, host: one bincount over the model pairs)
+    ins = np.asarray(pt.insert)[m]
+    clr = contig_lengths[np.asarray(pt.contig)[m, 0]]
+    sel = (ins > 0) & (clr > input_mean)
+    insv = ins[sel]
+    st.discarded += int((insv > st.max_insert_size).sum())
+    insv = insv[insv <= st.max_insert_size]
+    st.insert_counts += np.bincount(
+        np.minimum(insv, st.max_insert_size - 1),
+        minlength=st.max_insert_size)[: st.max_insert_size]
+
+    zero = np.zeros(len(m), bool)
+    for a, rb in ((a1, r1), (a2, r2)):
+        indel = np.asarray(a.get("indel", zero))
+        dev_mask = m & ~indel
+        dsum = aligner.model_stats(a["stats_handle"], a["pos"], a["strand"],
+                                   dev_mask)
+        L = rb.seq.shape[1]
+        st.error_pos[:L] += np.asarray(dsum["error_pos"], np.int64)[:L]
+        st.error_types += np.asarray(dsum["error_types"], np.int64)
+        st.base_counts += np.asarray(dsum["base_counts"], np.int64)
+        st.unique_mapped += int(dsum["n"])
+        lens_m = rb.length[dev_mask]
+        st.read_lengths += np.bincount(
+            np.clip(lens_m - 1, 0, Lmax - 1), minlength=Lmax)[:Lmax]
+        rows = np.flatnonzero(m & indel)
+        if rows.size:  # indel rows: host stats from the banded tracebacks
+            o = _oriented_rows(rb, a, rows)
+            sti = collect_stats(
+                idx.flat, o, rb.length[rows],
+                a["pos"][rows].astype(np.int64), a["strand"][rows],
+                a["mism"][rows], inserts=np.zeros(rows.size, np.int64),
+                max_read_length=Lmax)
+            st = st.merge(sti)
+
+    ins_ev, del_ev = _model_indel_events(m, a1, a2, r1, r2)
+    for ev, pos_hist, len_hist in ((ins_ev, st.in_pos, st.in_lengths),
+                                   (del_ev, st.del_pos, st.del_lengths)):
+        if not len(ev):
+            continue
+        cyc, ln, ev_strand, rlen = ev.T
+        cyc = np.where(ev_strand == 0, cyc, rlen - cyc - 1)
+        pos_hist += np.bincount(np.clip(cyc, 0, Lmax - 1),
+                                minlength=Lmax)[:Lmax]
+        len_hist += np.bincount(np.clip(ln - 1, 0, Lmax - 1),
+                                minlength=Lmax)[:Lmax]
+
+    model = finalize_model(st, contig_lengths, partial_flag=partial_flag,
+                           partial_len=partial_len)
+
+    indel2 = np.asarray(a2.get("indel", zero))
+    mask2 = m & ~indel2
+    lg = aligner.model_err_log10(a2["stats_handle"], a2["pos"], a2["strand"],
+                                 mask2, model)
+    vals = lg[mask2]
+    rows2 = np.flatnonzero(m & indel2)
+    if rows2.size:
+        o2 = _oriented_rows(r2, a2, rows2)
+        L2 = r2.seq.shape[1]
+        from2 = idx.flat[a2["pos"][rows2].astype(np.int64)[:, None]
+                         + np.arange(L2)[None, :]]
+        vals = np.concatenate([vals, alignment_error_log10(
+            model, o2, r2.length[rows2], a2["strand"][rows2],
+            a2["mism"][rows2], from2)])
+    model.gap_prob_cutoff = compute_gap_prob_cutoff(model, vals)
+    return model, n_model
+
+
+def _learn_model(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
+                 partial_len, input_mean=0.0, aligner=None
+                 ) -> tuple[ErrorModel, int]:
+    if int(pt.model.sum()) == 0:
+        return None, 0
+    if (aligner is not None and "stats_handle" in a1
+            and "stats_handle" in a2):
+        return _learn_model_device(idx, pt, a1, a2, r1, r2, contig_lengths,
+                                   partial_flag, partial_len, aligner,
+                                   input_mean)
+    return _learn_model_host(idx, pt, a1, a2, r1, r2, contig_lengths,
+                             partial_flag, partial_len, input_mean)
 
 
 class Pipeline:
@@ -200,12 +302,12 @@ class Pipeline:
         al = Aligner(idx, params, mesh=self.mesh,
                      **self.aligner_kwargs)
         t0 = time.time()
-        a1 = al.align(r1.seq, r1.length)
-        a2 = al.align(r2.seq, r2.length)
+        a1 = al.align(r1.seq, r1.length, keep_stats=True)
+        a2 = al.align(r2.seq, r2.length, keep_stats=True)
         self._align_seconds += time.time() - t0
         self._aligned_reads += 2 * len(r1)
         pt = build_pair_table(idx, a1, a2, r1.length, r2.length, max_insert)
-        return idx, a1, a2, pt
+        return idx, a1, a2, pt, al
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -237,7 +339,7 @@ class Pipeline:
         m_lib = self.cfg.read_pairs[mi]
         maxD1 = m_lib.avg_insert_size
         with self.timer.stage("align", 2 * len(self.libs[mi][0])):
-            idx, a1, a2, pt = self._align_lib(genome, mi, max_insert=maxD1)
+            idx, a1, a2, pt, al = self._align_lib(genome, mi, max_insert=maxD1)
         partial_len = m_lib.max_read_length
         r1, r2 = self.libs[mi]
         with self.timer.stage("model"):
@@ -245,7 +347,7 @@ class Pipeline:
                 idx, pt, a1, a2, r1, r2, genome.lengths,
                 partial_flag=(mode == "p"), partial_len=partial_len,
                 input_mean=(m_lib.avg_insert_size
-                            if cfgp.set_inputmean else 0.0))
+                            if cfgp.set_inputmean else 0.0), aligner=al)
         if model is None or n_model < self.min_model_pairs:
             model = self.saved_model
             if model is None:
@@ -273,9 +375,9 @@ class Pipeline:
             if self.use_genome_reduction and not t_lib.is_jump:
                 genome2, remap = genome.reduce_to_gapped()
                 gaps2 = genome2.find_gaps()
-            idx2, b1, b2, pt2 = self._align_lib(genome2, lib_i,
-                                                max_insert=maxD2,
-                                                end_to_end=True)
+            idx2, b1, b2, pt2, al2 = self._align_lib(genome2, lib_i,
+                                                     max_insert=maxD2,
+                                                     end_to_end=True)
             n_pairs += len(self.libs[lib_i][0])
             # jump pre-pass model relearn (insert bound > 250)
             if maxD2 > 250:
@@ -283,7 +385,7 @@ class Pipeline:
                     idx2, pt2, b1, b2, *self.libs[lib_i], genome2.lengths,
                     partial_flag=False, partial_len=partial_len,
                     input_mean=(t_lib.avg_insert_size if cfgp.set_inputmean
-                                else 0.0))
+                                else 0.0), aligner=al2)
                 if m2 is not None and nm2 >= self.min_model_pairs:
                     model = m2
             tri2 = Triage(gaps2, max_distance=maxD2,

@@ -23,8 +23,9 @@ jax.config.update("jax_platforms", "cpu")
 # note: device code is written int32-clean (k<=15 codes, <2Gb flat genomes);
 # we intentionally do NOT enable x64.
 
-# Persistent compilation cache: test time is dominated by XLA CPU compiles on
-# this 2-vCPU host; cache makes re-runs near-instant.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# Persistent compilation cache: test time is dominated by XLA CPU compiles.
+# The axon sitecustomize hook imports jax at interpreter start, so the env
+# vars are read before conftest runs — set the config directly instead.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

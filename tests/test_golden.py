@@ -62,7 +62,7 @@ def golden(tmp_path_factory):
     tri = Triage(gaps, max_distance=INSERT, read_mean=INSERT, is_jump=False)
     tri.collect_partial(rpt, rr1, rr2)
     res = fill_gaps(sim.draft, gaps, tri.bundles, model, partial_mode=True,
-                    partial_len=101)
+                    partial_len=101, reference_exact=True)
     ours = sim.draft.splice_gaps(gaps, res.gap_strings, list(res.gaptofill))
     return sim, gaps, res, ours, h
 

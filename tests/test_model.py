@@ -131,3 +131,35 @@ def test_effective_length(learned):
     tot = int(sim.truth.lengths.sum())
     assert model.effective_length(-1) == tot
     assert model.effective_length(100) == tot - 100 + 1  # single contig
+
+
+def test_device_stats_match_host():
+    """Device model learning (model/device_stats.py) must reproduce the host
+    collect_stats path bit-for-bit on the count statistics and agree on the
+    derived model (pipeline._learn_model device vs host branches)."""
+    from figbird_tpu.pipeline import _learn_model_device, _learn_model_host
+
+    sim = simulate(SimConfig(genome_len=80_000, n_contigs=1, n_gaps=3,
+                             insert_mean=INSERT_MEAN, insert_sd=INSERT_SD,
+                             coverage=8, error_rate=ERR, seed=11))
+    idx = build_index(sim.truth, k=15)
+    al = Aligner(idx, batch_size=2048)
+    r1, r2 = sim.reads1, sim.reads2
+    a1 = al.align(r1.seq, r1.length, keep_stats=True)
+    a2 = al.align(r2.seq, r2.length, keep_stats=True)
+    pt = build_pair_table(idx, a1, a2, r1.length, r2.length,
+                         max_insert=int(INSERT_MEAN * 2))
+    md, nd = _learn_model_device(idx, pt, a1, a2, r1, r2, sim.truth.lengths,
+                                 partial_flag=True, partial_len=100,
+                                 aligner=al)
+    mh, nh = _learn_model_host(idx, pt, a1, a2, r1, r2, sim.truth.lengths,
+                               partial_flag=True, partial_len=100)
+    assert nd == nh
+    np.testing.assert_array_equal(md.insert_dist, mh.insert_dist)
+    np.testing.assert_allclose(md.error_pos_dist, mh.error_pos_dist, rtol=1e-6)
+    np.testing.assert_array_equal(md.error_type_probs, mh.error_type_probs)
+    np.testing.assert_allclose(md.base_error_rates, mh.base_error_rates,
+                               rtol=1e-9)
+    assert md.insert_threshold_min == mh.insert_threshold_min
+    assert md.insert_threshold_max == mh.insert_threshold_max
+    assert md.gap_prob_cutoff == mh.gap_prob_cutoff
