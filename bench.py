@@ -18,11 +18,16 @@ Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import logging
 import os
 import sys
 import time
 
 import numpy as np
+
+logging.basicConfig(stream=sys.stderr, level=logging.INFO,
+                    format="# %(name)s: %(message)s")
+logging.getLogger("jax").setLevel(logging.WARNING)
 
 _FALLBACK_BASELINE_RPS = 50_000.0  # documented estimate, see header
 

@@ -14,6 +14,10 @@ from pathlib import Path
 
 
 def main(argv=None) -> int:
+    # multi-host: must run before any backend-touching jax call
+    from .parallel.distributed import init_from_env
+
+    init_from_env()
     ap = argparse.ArgumentParser(
         prog="figbird_tpu",
         description="TPU-native iterative gap filling (Figbird-equivalent)")

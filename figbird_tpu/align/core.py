@@ -33,7 +33,9 @@ import numpy as np
 from ..dtypes import COMPLEMENT, GAP_CODE
 from .index import KmerIndex
 
-NEG = jnp.int32(-(2**30))
+# plain numpy scalar: a module-level jnp constant would initialise the XLA
+# backend at import time, which breaks jax.distributed.initialize ordering
+NEG = np.int32(-(2**30))
 
 
 @dataclass(frozen=True)
@@ -54,6 +56,10 @@ class AlignParams:
     end_to_end: bool = False
     e2e_min_per_base: float = 1.2
     e2e_min_const: float = -0.8
+    # emit the per-position mismatch mask (packed) — needed for SAM export /
+    # injected-SAM parity; the production pipeline learns the model on
+    # device (model/device_stats.py) and skips this D2H
+    want_mism: bool = True
 
 
 def e2e_params(p: "AlignParams") -> "AlignParams":
@@ -344,12 +350,15 @@ def align_batch_device(flat2d, flatlen, tables, reads,
     # mismatch mask recomputed for the winning candidate only (one window
     # per read instead of one per candidate); bit-packed because D2H of a
     # (B, L) bool dominates the transfer budget on tunnel-attached TPUs
-    reads_o = jnp.where(use_rev[:, None], rc_reads, reads)
-    L = reads.shape[1]
-    win = _extract_span(flat2d, pick("pos"), L)
-    rv = reads_o != GAP_CODE
-    m = (win == reads_o) & rv & (win != GAP_CODE)
-    out["mism_packed"] = jnp.packbits(rv & ~m, axis=1)
+    need_win = params.want_mism or params.end_to_end
+    if need_win:
+        reads_o = jnp.where(use_rev[:, None], rc_reads, reads)
+        L = reads.shape[1]
+        win = _extract_span(flat2d, pick("pos"), L)
+        rv = reads_o != GAP_CODE
+        m = (win == reads_o) & rv & (win != GAP_CODE)
+        if params.want_mism:
+            out["mism_packed"] = jnp.packbits(rv & ~m, axis=1)
     out["strand"] = use_rev.astype(jnp.int8)
     start = pick("start")
     end = pick("end")
@@ -394,7 +403,7 @@ class Aligner:
     """
 
     def __init__(self, index: KmerIndex, params: AlignParams = AlignParams(),
-                 batch_size: int = 8192, two_tier: bool = True,
+                 batch_size: int = 32768, two_tier: bool = True,
                  cheap_params: AlignParams | None = None, mesh=None,
                  indel_tier: bool = True, indel_min_clip: int = 4,
                  indel_win_margin: int = 4, banded_params=None):
@@ -497,8 +506,9 @@ class Aligner:
         # per-batch-per-key conversion costs ~10x the compute itself
         host = jax.device_get(outs)
         cat = {kk: np.concatenate([o[kk] for o in host])[:n] for kk in host[0]}
-        cat["mism"] = np.unpackbits(
-            cat.pop("mism_packed"), axis=1, count=L).astype(bool)
+        if "mism_packed" in cat:
+            cat["mism"] = np.unpackbits(
+                cat.pop("mism_packed"), axis=1, count=L).astype(bool)
         return cat
 
     def align(self, seq: np.ndarray, lengths: np.ndarray,
@@ -699,8 +709,9 @@ class Aligner:
                 out["clip_start"][row] = tb["read_start"]
                 out["clip_end"][row] = ln - tb["read_end"]
                 out["n_mis"][row] = tb["n_mis"]
-                out["mism"][row, :] = False
-                out["mism"][row, : len(tb["mism"])] = tb["mism"]
+                if "mism" in out:
+                    out["mism"][row, :] = False
+                    out["mism"][row, : len(tb["mism"])] = tb["mism"]
                 out["alen"][row] = galen
                 out["aligned"][row] = True
                 out["unique"][row] = tb["score"] > int(out["second"][row])

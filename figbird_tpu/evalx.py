@@ -121,34 +121,77 @@ def _block_diagonals(block: np.ndarray, codes, pos, k: int, stride: int):
     return starts[uniq], pos[lo[uniq]]
 
 
+def _anchor_both_strands(block, codes, pos, k, stride):
+    """Unique anchors on both strands: (q, r, strand) sorted by q.
+
+    Reverse-strand anchors are mapped back to forward block coordinates
+    (q = block position of the k-mer start); their consistency invariant is
+    the ANTI-diagonal r + q."""
+    from .dtypes import revcomp
+
+    qf, rf = _block_diagonals(block, codes, pos, k, stride)
+    qr_rev, rr = _block_diagonals(revcomp(block), codes, pos, k, stride)
+    qr = len(block) - k - qr_rev  # forward coords of the RC k-mer
+    q = np.concatenate([qf, qr])
+    r = np.concatenate([rf, rr])
+    st = np.concatenate([np.zeros(len(qf), np.int8),
+                         np.ones(len(qr), np.int8)])
+    order = np.argsort(q, kind="stable")
+    return q[order], r[order], st[order]
+
+
 def evaluate_against_reference(asm: Genome, ref: Genome, k: int = 21,
-                               stride: int = 50,
+                               stride: int = 20,
                                local_misassembly_max: int = 1000,
+                               indel_tol: int = 5,
+                               reclass_n: int = 4000,
                                min_block: int = 100) -> EvalReport:
     """Reference-based evaluation replacing QUAST 2.3 + correct_quast.py.
 
-    Method: split assembly contigs at N-runs into blocks; anchor each block
-    (and its reverse complement) to the reference with unique k-mers; segment
-    the anchors into consistent diagonal runs (|diagonal jump| > ``local_
-    misassembly_max`` starts a new alignment segment == one extensive
-    misassembly breakpoint, mirroring QUAST's extensive-misassembly distance
-    and correct_quast.py's --N reclassification of smaller events as local);
-    NGA50 from the aligned-segment lengths against the reference size
-    (quast --strict-NA semantics: contigs broken at misassemblies).
-    """
-    from .dtypes import revcomp
+    Mirrors the quantities of RunFigbird.sh:794-830 / correct_quast.py:405-409:
 
-    codes, pos, _ = _ref_kmer_table(ref, k)
+    * contigs split at remaining N-runs into blocks; blocks anchored to the
+      reference by unique k-mers on BOTH strands; anchors chained into
+      alignment segments.  A |diagonal| jump > ``local_misassembly_max``, a
+      strand flip, or a reference-contig change is an *extensive misassembly*
+      breakpoint (QUAST's relocation/inversion/translocation classes); jumps
+      in (indel_tol, local_misassembly_max] are *local* misassemblies whose
+      inconsistency feeds erroneous length (get_sum_local_misassemblies,
+      correct_quast.py:244-253); jumps <= indel_tol are indels
+      (get_sum_indels).
+    * correct_quast reclassification (get_sum_large_misassemblies --N,
+      correct_quast.py:197-241): an extensive breakpoint whose shorter
+      flanking segment is <= ``reclass_n`` is downgraded to local — it is not
+      counted as a misassembly and its length feeds erroneous length instead.
+    * erroneous length = mismatches within segments + indel lengths + local
+      inconsistencies + reclassified segment lengths (correct_quast.py:408).
+    * NGA50 over segments broken at every misassembly (--strict-NA,
+      RunFigbird.sh:813) vs the reference genome size; unaligned = block
+      bases outside any segment.
+    """
+    codes, pos, ref_flat = _ref_kmer_table(ref, k)
     ref_total = int(ref.total_length())
 
     seg_lengths: list[int] = []
     misassemblies = 0
     unaligned = 0
-    erroneous = 0
+    mismatch_len = 0
+    indel_len = 0
+    local_len = 0
+    reclass_len = 0
+
+    def seg_mismatches(block, q0, q1, r0, strand):
+        """Mismatch count comparing the segment at its leading diagonal."""
+        from .dtypes import revcomp
+
+        n = q1 - q0
+        a = block[q0:q1] if strand == 0 else revcomp(block[q0:q1])
+        b = ref_flat[r0 : r0 + n]
+        n = min(len(a), len(b))
+        return int((a[:n] != b[:n]).sum())
 
     for contig in asm.contigs:
         isn = contig == N
-        # block boundaries at N-runs
         bounds = np.flatnonzero(np.diff(np.concatenate(
             [[True], isn, [True]]).astype(np.int8)))
         for bi in range(0, len(bounds) - 1):
@@ -158,33 +201,64 @@ def evaluate_against_reference(asm: Genome, ref: Genome, k: int = 21,
             block = contig[s:e]
             if len(block) < min_block:
                 continue
-            qf, rf = _block_diagonals(block, codes, pos, k, stride)
-            qr, rr = _block_diagonals(revcomp(block), codes, pos, k, stride)
-            if len(qf) >= len(qr):
-                q, r = qf, rf
-            else:
-                q, r = qr, rr
+            q, r, st = _anchor_both_strands(block, codes, pos, k, stride)
             if len(q) == 0:
                 unaligned += len(block)
-                erroneous += len(block)
                 continue
-            diag = r - q
-            # segment at large diagonal jumps (extensive misassemblies)
-            jumps = np.flatnonzero(
-                np.abs(np.diff(diag)) > local_misassembly_max)
-            seg_start = 0
-            n_segs = 0
-            for jpt in list(jumps) + [len(q) - 1]:
-                q0, q1 = int(q[seg_start]), int(q[jpt]) + k
+            # consistency invariant per strand: r - q (fwd), r + q (rev)
+            inv = np.where(st == 0, r - q, r + q)
+            segs = []  # (i0, i1) inclusive anchor index ranges
+            i0 = 0
+            for i in range(1, len(q)):
+                jump = abs(int(inv[i]) - int(inv[i - 1]))
+                flip = st[i] != st[i - 1]
+                if flip or jump > local_misassembly_max:
+                    segs.append((i0, i - 1))  # extensive boundary
+                    i0 = i
+                elif jump > indel_tol:
+                    local_len += jump
+                    segs.append((i0, i - 1))  # --strict-NA: break at local
+                    i0 = i
+                elif jump:
+                    indel_len += jump
+            segs.append((i0, len(q) - 1))
+            # anchor spans; block edges within one stride of the terminal
+            # anchors are part of the terminal alignments (anchor resolution,
+            # not divergence)
+            spans = [[int(q[a]), int(q[b]) + k] for a, b in segs]
+            if spans and spans[0][0] <= stride + k:
+                spans[0][0] = 0
+            if spans and len(block) - spans[-1][1] <= stride + k:
+                spans[-1][1] = len(block)
+            for q0, q1 in spans:
                 if q1 - q0 >= min_block:
                     seg_lengths.append(q1 - q0)
-                    n_segs += 1
-                seg_start = jpt + 1
-            breaks = max(n_segs - 1, 0)
-            misassemblies += breaks
-            erroneous += breaks * local_misassembly_max  # breakpoint flanks
-            # bases outside any anchor span count as unaligned tails
-            covered = int(q[-1]) + k - int(q[0])
+            # classify each boundary; apply correct_quast reclassification
+            for si in range(1, len(segs)):
+                b_prev = segs[si - 1][1]
+                a_cur = segs[si][0]
+                jump = abs(int(inv[a_cur]) - int(inv[b_prev]))
+                flip = st[a_cur] != st[b_prev]
+                if not flip and jump <= local_misassembly_max:
+                    continue  # local boundary, already in local_len
+                left_len = int(q[b_prev]) + k - int(q[segs[si - 1][0]])
+                right_len = int(q[segs[si][1]]) + k - int(q[a_cur])
+                shorter = min(left_len, right_len)
+                if shorter <= reclass_n:
+                    reclass_len += shorter  # extensive -> local downgrade
+                else:
+                    misassemblies += 1
+            for (a, b), (q0, q1) in zip(segs, spans):
+                if q1 - q0 >= min_block:
+                    # leading diagonal from the first anchor, shifted to the
+                    # (possibly extended) span start
+                    if st[a] == 0:
+                        r0 = int(r[a]) - (int(q[a]) - q0)
+                    else:
+                        r0 = int(r[b]) - (q1 - (int(q[b]) + k))
+                    mismatch_len += seg_mismatches(block, q0, q1,
+                                                   max(r0, 0), int(st[a]))
+            covered = sum(q1 - q0 for q0, q1 in spans)
             unaligned += max(len(block) - covered, 0)
 
     seg_lengths.sort(reverse=True)
@@ -196,14 +270,15 @@ def evaluate_against_reference(asm: Genome, ref: Genome, k: int = 21,
             nga50 = L
             break
 
-    st = assembly_stats(asm)
+    st_all = assembly_stats(asm)
     return EvalReport(
         misassemblies=misassemblies,
-        erroneous_length=int(erroneous),
+        erroneous_length=int(mismatch_len + indel_len + local_len
+                             + reclass_len),
         unaligned_length=int(unaligned),
         nga50=int(nga50),
-        n_gaps=st.n_gaps,
-        total_gap_length=st.total_gap_length,
+        n_gaps=st_all.n_gaps,
+        total_gap_length=st_all.total_gap_length,
     )
 
 

@@ -57,6 +57,12 @@ class GapPlan:
     large_gap: bool = False
     perfect_flag: int = 0    # checkMIM equivalent (Preprocess.cpp:885-925)
     perfect_len: int = 0
+    # unmapped small-gap probe failed (checkGapReads, Figbird.cpp:6121-6153):
+    # the reference then finalizes with saved_reads still all-zero
+    # (allocate:1709; 6369 never ran), and unmapped finalize acceptance
+    # requires saved_reads==1 (5128) — so nothing is accepted and the gap
+    # stays N.  Replicated by zeroing the finalize saved-flags.
+    less_read: bool = False
 
 
 @dataclass
@@ -852,7 +858,7 @@ def fill_gaps(
     neg_overlap: int = 30,
     read_len: int | None = None,
     em_iters_unmapped: int = 48,
-    instance_batch: int = 128,
+    instance_batch: int | None = None,
     max_scan_lengths: int = 160,
     scan_block: int = 64,
     mesh=None,
@@ -867,6 +873,11 @@ def fill_gaps(
     """
     if reference_exact:
         max_scan_lengths = 0
+        em_iters_unmapped = 200  # reference num_itr (Figbird.cpp:6225)
+    if instance_batch is None:
+        # tunnel-attached TPUs are dispatch-latency-bound: big batches;
+        # CPU (tests) pays padded compute for real: small batches
+        instance_batch = 768 if jax.default_backend() == "tpu" else 64
     n_gaps = len(gaps)
     out_strings: list[np.ndarray] = [None] * n_gaps
     gaptofill = np.zeros(n_gaps, np.int64)
@@ -915,6 +926,8 @@ def fill_gaps(
     for gi in active:
         buckets.setdefault(_bucket_key(gi), []).append(gi)
     stats["buckets"] = len(buckets)
+    stats["bucket_shapes"] = {str(k): len(v) for k, v in buckets.items()}
+    logger.info("fill buckets: %s", stats["bucket_shapes"])
 
     marr = _model_arrays(model, L)
     for (gb, pb, rb, large), gids in sorted(buckets.items()):
@@ -981,6 +994,10 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
     run_fill = lambda gi_, gl_: fill_batch_gathered(
         cfg, gap_arrays, put_i(gi_), put_i(gl_), marr,
         finalize_flag=large_flag)
+    # checkGapReads probes run with finalize extras ON regardless of gap
+    # size (run(i,fp,g,1,1) — hardcoded 1, Figbird.cpp:6097)
+    run_probe = lambda gi_, gl_: fill_batch_gathered(
+        cfg, gap_arrays, put_i(gi_), put_i(gl_), marr, finalize_flag=True)
     run_fin = lambda gi_, gl_, bs, sv, svl, svr: (
         finalize_batch_gathered(cfg, gap_arrays, put_i(gi_), put_i(gl_),
                                 marr, put_i(bs), put_i(sv), put_i(svl),
@@ -1054,7 +1071,7 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
                 pad = nb - len(r)
                 gi_ = jnp.asarray(np.asarray(r + [0] * pad, np.int32))
                 gl_ = jnp.asarray(np.asarray(le + [1] * pad, np.int32))
-                dev_outs.append({"valid": run_fill(gi_, gl_)["valid"]})
+                dev_outs.append({"valid": run_probe(gi_, gl_)["valid"]})
             at = 0
             for out in jax.device_get(dev_outs):
                 m = min(nb, len(probe_rows) - at)
@@ -1069,8 +1086,10 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
                 enough = any((c > thresh) if strict_gt else (c >= thresh)
                              for c in counts)
                 if not enough:
-                    # less_read_flag==1 -> range=0: fill at original length
+                    # less_read_flag==1 -> range=0; finalize at the original
+                    # length with zero saved-flags (no reads accepted)
                     plans[gi].lengths = [plans[gi].gap.length]
+                    plans[gi].less_read = True
 
     # ---- block-lazy length scan ------------------------------------------
     while True:
@@ -1140,7 +1159,11 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
         fin_rows.append(row_of[gi])
         fin_lens.append(best_len)
         fin_best.append(bs)
-        fin_saved.append(res["accept"][sel[best_j]])
+        if not partial_mode and (plan.less_read or plan.side_flag):
+            # saved_reads never set (Figbird.cpp:1709 vs 6369) -> no accepts
+            fin_saved.append(np.zeros_like(res["accept"][sel[best_j]]))
+        else:
+            fin_saved.append(res["accept"][sel[best_j]])
         if partial_mode:
             fin_saved_lr.append((ext["saved_l"][sel[best_j]],
                                  ext["saved_r"][sel[best_j]]))

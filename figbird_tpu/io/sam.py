@@ -245,9 +245,13 @@ def write_sam(path: str | Path, index: "KmerIndex", contig_names: list[str],
 
     def emit(i, m, a, rb, rc_seq, a_mate):
         L = int(rb.length[i])
-        strand = int(a["strand"][i])
         aligned = bool(a["aligned"][i])
         m_aligned = bool(a_mate["aligned"][i])
+        # bowtie2 convention: unmapped records carry the RAW read, never the
+        # reverse strand bit (the aligner's best-strand guess is meaningless)
+        # — Preprocess/Figbird re-orient unmapped mates from the ANCHOR's
+        # strand (Figbird.cpp:5727-5736), so emitting RC here would double-RC
+        strand = int(a["strand"][i]) if aligned else 0
         flag = 0x1 | (0x40 if m == 0 else 0x80)
         if not aligned:
             flag |= 0x4
@@ -255,7 +259,7 @@ def write_sam(path: str | Path, index: "KmerIndex", contig_names: list[str],
             flag |= 0x8
         if strand:
             flag |= 0x10
-        if int(a_mate["strand"][i]):
+        if m_aligned and int(a_mate["strand"][i]):
             flag |= 0x20
         if pt is not None and bool(np.asarray(pt.concordant)[i]):
             flag |= 0x2

@@ -273,9 +273,13 @@ def finalize_model(
     right_sd = float(
         np.sqrt(((right - insert_mean) ** 2 * cnt_r).sum() / max(cnt_r.sum(), 1))
     )
+    # reference loop bound is the FLOAT mean (i < insertSizeMean,
+    # Figbird.cpp:797), so bin int(mean) itself is included unless the mean
+    # is exactly integral
+    hi_l = mean_i + 1 if insert_mean > mean_i else mean_i
     lo = max(int(insert_mean - 10 * right_sd), 0)
-    left = np.arange(lo, mean_i)
-    cnt_l = (counts[lo:mean_i] - 1).astype(np.float64)
+    left = np.arange(lo, hi_l)
+    cnt_l = (counts[lo:hi_l] - 1).astype(np.float64)
     left_sd = float(
         np.sqrt(((insert_mean - left) ** 2 * cnt_l).sum() / max(cnt_l.sum(), 1))
     )
@@ -354,19 +358,27 @@ def alignment_error_log10(
     return out
 
 
-def compute_gap_prob_cutoff(
-    model: ErrorModel,
-    log10_err2: np.ndarray,
-    quantile: float = 0.8,
-) -> int:
-    """gapProbs histogram -> 80th percentile cutoff (Figbird.cpp:1312-1322, 7155-7178).
-
-    ``log10_err2`` is the log10 error probability of each pair's *second* mate.
-    gapIndex = int(-log10(p)) + 1, clipped to [0, 999].
-    """
+def gap_prob_hist(log10_err2: np.ndarray) -> np.ndarray:
+    """gapProbs histogram (Figbird.cpp:1312-1322): gapIndex = int(-log10 p)+1,
+    clipped to [0, 999].  Pure counts — summable across hosts."""
     gi = np.floor(-log10_err2).astype(np.int64) + 1
     gi = np.where((gi >= 0) & (gi < 1000), gi, 999)
-    hist = np.bincount(gi, minlength=1000)
+    return np.bincount(gi, minlength=1000)
+
+
+def compute_gap_prob_cutoff(
+    model: ErrorModel,
+    log10_err2: np.ndarray | None = None,
+    quantile: float = 0.8,
+    hist: np.ndarray | None = None,
+) -> int:
+    """80th-percentile cutoff from the gapProbs histogram (main 7155-7178).
+
+    ``log10_err2`` is the log10 error probability of each pair's *second*
+    mate; pass ``hist`` instead when the histogram was already (all-)reduced.
+    """
+    if hist is None:
+        hist = gap_prob_hist(log10_err2)
     total = hist.sum()
     if total == 0:
         return 4  # conservative default for empty model sets

@@ -145,6 +145,22 @@ def _learn_model_host(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
     return model, n_model
 
 
+def _indel_mism_rows(a: dict, rows: np.ndarray, L: int) -> np.ndarray:
+    """Mismatch masks for indel-tier rows from their banded tracebacks
+    (the production align pass skips the full mism D2H)."""
+    if "mism" in a:
+        return a["mism"][rows]
+    out = np.zeros((len(rows), L), bool)
+    det = a.get("indel_detail", {})
+    for i, row in enumerate(rows):
+        tb = det.get(int(row))
+        if tb is not None:
+            mm = np.asarray(tb["mism"], bool)
+            n = min(len(mm), L)
+            out[i, :n] = mm[:n]
+    return out
+
+
 def _learn_model_device(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
                         partial_len, aligner, input_mean=0.0
                         ) -> tuple[ErrorModel, int]:
@@ -193,7 +209,8 @@ def _learn_model_device(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
             sti = collect_stats(
                 idx.flat, o, rb.length[rows],
                 a["pos"][rows].astype(np.int64), a["strand"][rows],
-                a["mism"][rows], inserts=np.zeros(rows.size, np.int64),
+                _indel_mism_rows(a, rows, rb.seq.shape[1]),
+                inserts=np.zeros(rows.size, np.int64),
                 max_read_length=Lmax)
             st = st.merge(sti)
 
@@ -209,6 +226,14 @@ def _learn_model_device(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
         len_hist += np.bincount(np.clip(ln - 1, 0, Lmax - 1),
                                 minlength=Lmax)[:Lmax]
 
+    # merge point #1 (SURVEY §5): all-reduce sufficient statistics across
+    # hosts before finalisation — the model is learned once, globally
+    # (replacing Figbird.cpp:7118-7132's per-worker redundant re-learn)
+    from .parallel.distributed import allgather_obj, allreduce_stats, is_distributed
+
+    st = allreduce_stats(st)
+    if is_distributed():
+        n_model = int(sum(allgather_obj(n_model)))
     model = finalize_model(st, contig_lengths, partial_flag=partial_flag,
                            partial_len=partial_len)
 
@@ -225,8 +250,12 @@ def _learn_model_device(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
                          + np.arange(L2)[None, :]]
         vals = np.concatenate([vals, alignment_error_log10(
             model, o2, r2.length[rows2], a2["strand"][rows2],
-            a2["mism"][rows2], from2)])
-    model.gap_prob_cutoff = compute_gap_prob_cutoff(model, vals)
+            _indel_mism_rows(a2, rows2, L2), from2)])
+    from .model.error_model import gap_prob_hist
+    hist = gap_prob_hist(vals)
+    if is_distributed():
+        hist = np.sum(allgather_obj(hist), axis=0)
+    model.gap_prob_cutoff = compute_gap_prob_cutoff(model, hist=hist)
     return model, n_model
 
 
@@ -256,19 +285,35 @@ class Pipeline:
                  min_model_pairs: int = 500,
                  fill_kwargs: dict | None = None,
                  aligner_kwargs: dict | None = None,
-                 mesh=None):
+                 mesh=None, distributed: bool | None = None):
         """``mesh``: optional jax.sharding.Mesh with a ``reads`` axis; when
         given, alignment batches and fill instances run data-parallel over it
         (index/model replicated — SURVEY §2c SPMD mapping).  Results are
-        bit-identical to single-device (tests/test_parallel.py)."""
+        bit-identical to single-device (tests/test_parallel.py).
+
+        ``distributed``: multi-host mode (jax.distributed initialised, one
+        process per host).  Each process keeps a contiguous shard of every
+        read library (genome/index replicated per host), learns the model
+        via a cross-host stats all-reduce, unions per-gap bundles, fills a
+        strided gap subset and all-gathers the strings — bit-identical to a
+        single-process run (tests/test_distributed.py).  Default: auto
+        (on when jax.process_count() > 1)."""
+        from .parallel import distributed as dist
+
         cfg.validate()
         self.cfg = cfg
         self.mesh = mesh
+        self.dist = dist.is_distributed() if distributed is None \
+            else distributed
         self.genome = genome
         self.libs = []
         for lib, (r1, r2) in zip(cfg.read_pairs, libs):
             if lib.is_reverse:  # Reverse.cpp: RC both files of RF libraries
                 r1, r2 = r1.revcomp(), r2.revcomp()
+            if self.dist:  # host-level read decomposition
+                sl = dist.shard_reads(len(r1))
+                r1, r2 = r1.take(np.arange(sl.start, sl.stop)), \
+                    r2.take(np.arange(sl.start, sl.stop))
             self.libs.append((r1, r2))
         self.workdir = Path(workdir) if workdir else None
         if self.workdir:
@@ -295,10 +340,14 @@ class Pipeline:
         -local) bowtie2 semantics with the -X maxD2 insert bound
         (RunFigbird.sh:329-333) — no soft clips, so the pass's model set
         excludes clipped reads exactly as the reference does."""
+        from dataclasses import replace as _replace
+
         r1, r2 = self.libs[lib_i]
         idx = build_index(genome, k=15)
         params = e2e_params(self.align_params) if end_to_end \
             else self.align_params
+        # model learning runs on device; skip the mismatch-mask D2H
+        params = _replace(params, want_mism=False)
         al = Aligner(idx, params, mesh=self.mesh,
                      **self.aligner_kwargs)
         t0 = time.time()
@@ -360,6 +409,10 @@ class Pipeline:
                          read_mean=m_lib.avg_insert_size, is_jump=False)
             tri.collect_partial(pt, r1, r2, align1=a1, align2=a2)
         bundles = tri.bundles
+        if self.dist:  # merge point #2a: cross-host bundle union
+            from .parallel.distributed import merge_bundles
+
+            bundles = merge_bundles(bundles)
         n_pairs = len(r1)
         reductions: dict[int, np.ndarray] = {}
         if self.use_read_reduction and mi not in self._reduced:
@@ -379,7 +432,10 @@ class Pipeline:
                                                      max_insert=maxD2,
                                                      end_to_end=True)
             n_pairs += len(self.libs[lib_i][0])
-            # jump pre-pass model relearn (insert bound > 250)
+            # jump pre-pass (Preprocess.cpp:2313-2445): model relearn from the
+            # e2e pass's own concordant pairs; its measured insert mean (not
+            # the configured one) drives checkPos insert geometry
+            read_mean = float(t_lib.avg_insert_size)
             if maxD2 > 250:
                 m2, nm2 = _learn_model(
                     idx2, pt2, b1, b2, *self.libs[lib_i], genome2.lengths,
@@ -388,12 +444,18 @@ class Pipeline:
                                 else 0.0), aligner=al2)
                 if m2 is not None and nm2 >= self.min_model_pairs:
                     model = m2
+                    read_mean = float(m2.insert_mean)
             tri2 = Triage(gaps2, max_distance=maxD2,
-                          read_mean=t_lib.avg_insert_size,
+                          read_mean=read_mean,
                           is_jump=t_lib.is_jump)
             tri2.collect_unmapped(pt2, *self.libs[lib_i])
+            u_bundles = tri2.bundles
+            if self.dist:
+                from .parallel.distributed import merge_bundles
+
+                u_bundles = merge_bundles(u_bundles)
             # merge unmapped bundles back into the full-genome gap list
-            for b2_, b in zip(tri2.bundles, bundles):
+            for b2_, b in zip(u_bundles, bundles):
                 b.u_seq, b.u_pos, b.u_rev = b2_.u_seq, b2_.u_pos, b2_.u_rev
             if (self.use_read_reduction and lib_i != mi
                     and lib_i not in self._reduced):
@@ -401,13 +463,33 @@ class Pipeline:
 
         # --- fill + splice ---------------------------------------------------
         with self.timer.stage("fill", len(gaps)):
-            res = fill_gaps(
-                genome, gaps, bundles, model,
-                partial_mode=(mode == "p"), partial_len=partial_len,
-                neg_overlap=cfgp.gaplen_negative_overlap,
-                mesh=self.mesh,
-                **self.fill_kwargs,
-            )
+            if self.dist and len(gaps):
+                # each host fills a strided gap subset; strings all-gather
+                # (merge point #2b — replaces FillGaps' gapout file merge)
+                from .parallel.distributed import (allgather_gap_strings,
+                                                   my_gap_subset)
+
+                sub = my_gap_subset(len(gaps))
+                res = fill_gaps(
+                    genome, [gaps[i] for i in sub],
+                    [bundles[i] for i in sub], model,
+                    partial_mode=(mode == "p"), partial_len=partial_len,
+                    neg_overlap=cfgp.gaplen_negative_overlap,
+                    mesh=self.mesh, **self.fill_kwargs)
+                mine = {int(gi): (res.gap_strings[k], int(res.gaptofill[k]))
+                        for k, gi in enumerate(sub)}
+                allv = allgather_gap_strings(len(gaps), mine)
+                res.gap_strings = [v[0] for v in allv]
+                res.gaptofill = np.asarray([v[1] for v in allv], np.int64)
+                res.placements = None  # per-host partial; not meaningful
+            else:
+                res = fill_gaps(
+                    genome, gaps, bundles, model,
+                    partial_mode=(mode == "p"), partial_len=partial_len,
+                    neg_overlap=cfgp.gaplen_negative_overlap,
+                    mesh=self.mesh,
+                    **self.fill_kwargs,
+                )
         with self.timer.stage("splice"):
             new_genome = genome.splice_gaps(
                 gaps, res.gap_strings, list(res.gaptofill))
