@@ -470,11 +470,18 @@ class Aligner:
         ``self._stats_handle`` so the model-stats passes can reuse them
         without re-uploading the reads (see ``model_stats``).
         """
+        devs, handle = self._dispatch_pass(seq, lengths, params)
+        if keep:
+            self._stats_handle = handle
+        return self._collect_pass(jax.device_get(devs), seq.shape)
+
+    def _dispatch_pass(self, seq, lengths, params):
+        """Queue all batches asynchronously; no sync.  Returns (device result
+        dicts, (chunk, lens) device handles)."""
         n, L = seq.shape
         bs = self.batch_size
         outs: list[dict] = []
-        if keep:
-            self._stats_handle = []
+        handle = []
         for i in range(0, n, bs):
             chunk = seq[i : i + bs]
             lens = lengths[i : i + bs]
@@ -491,20 +498,23 @@ class Aligner:
 
                 dev_chunk = _jax.device_put(dev_chunk, self._shd)
                 dev_lens = _jax.device_put(dev_lens, self._shd)
-            if keep:
-                self._stats_handle.append((dev_chunk, dev_lens))
+            handle.append((dev_chunk, dev_lens))
             res = align_batch_device(
                 self._flat2d, self._flatlen, self._tables,
                 dev_chunk, dev_lens,
                 self.index.k, params, self._prefix_shift,
             )
             outs.append(res)  # device arrays; do NOT sync here
-        if not outs:
+        return outs, handle
+
+    @staticmethod
+    def _collect_pass(host: list, shape) -> dict[str, np.ndarray]:
+        """Assemble fetched per-batch dicts (one device_get per PHASE across
+        every pending job — each individual D2H pays the full host<->TPU
+        round trip, ~30 ms over a tunnel)."""
+        n, L = shape
+        if not host:
             return {}
-        # one async device_get over the whole tree: each individual D2H pays
-        # the full host<->TPU round-trip latency (~30 ms over a tunnel), so
-        # per-batch-per-key conversion costs ~10x the compute itself
-        host = jax.device_get(outs)
         cat = {kk: np.concatenate([o[kk] for o in host])[:n] for kk in host[0]}
         if "mism_packed" in cat:
             cat["mism"] = np.unpackbits(
@@ -519,38 +529,74 @@ class Aligner:
         stats passes (``model_stats`` / ``model_err_log10``) can run without
         re-uploading; caller owns the returned handle.
         """
+        return self.align_many([(seq, lengths)], keep_stats=keep_stats)[0]
+
+    def align_many(self, jobs: list, keep_stats: bool = False) -> list:
+        """Align several read sets (e.g. both mates) with phase-merged
+        dispatch: every job's batches queue before any sync, so the tunnel
+        round-trip cost per phase (seed/extend pass, escalation pass, banded
+        scores) is paid once instead of once per mate."""
         p = self.params
-        if (not self.two_tier
-                or (self.cheap_params.n_seeds >= p.n_seeds
-                    and self.cheap_params.hits_per_seed >= p.hits_per_seed)):
-            out = self._align_pass(seq, lengths, p, keep=keep_stats)
-            if out and self.indel_tier and not p.end_to_end:
-                self._banded_escalate(seq, lengths, out)
-            if keep_stats:
-                out["stats_handle"] = self._stats_handle
-            return out
-        out = self._align_pass(seq, lengths, self.cheap_params,
-                               keep=keep_stats)
-        if not out:
-            return out
-        # confident = unique UNCLIPPED full-length alignment with <=3
-        # mismatches' slack whose seed buckets were fully enumerated;
-        # everything else (clipped, unaligned, ambiguous, or with possible
-        # unexplored runner-up placements) gets the full pass
-        slack = 3 * (p.match - p.mismatch)
-        confident = (out["aligned"] & out["unique"] & ~out["hit_overflow"]
-                     & (out["clip_start"] == 0) & (out["clip_end"] == 0)
-                     & (out["score"] >= p.match * lengths.astype(np.int64) - slack))
-        rows = np.flatnonzero(~confident)
-        if rows.size:
-            full = self._align_pass(seq[rows], lengths[rows], p)
-            for kk, v in full.items():
-                out[kk][rows] = v
+        single = (not self.two_tier
+                  or (self.cheap_params.n_seeds >= p.n_seeds
+                      and self.cheap_params.hits_per_seed >= p.hits_per_seed))
+        params0 = p if single else self.cheap_params
+
+        devs, handles = [], []
+        for seq, lengths in jobs:
+            d, h = self._dispatch_pass(seq, lengths, params0)
+            devs.append(d)
+            handles.append(h)
+        hosts = jax.device_get(devs)  # one sync for the whole phase
+        outs = [self._collect_pass(h, j[0].shape)
+                for h, j in zip(hosts, jobs)]
+
+        if not single:
+            # confident = unique UNCLIPPED full-length alignment with <=3
+            # mismatches' slack whose seed buckets were fully enumerated;
+            # everything else (clipped, unaligned, ambiguous, or with
+            # possible unexplored runner-up placements) gets the full pass
+            slack = 3 * (p.match - p.mismatch)
+            esc_rows, esc_devs = [], []
+            for out, (seq, lengths) in zip(outs, jobs):
+                if not out:
+                    esc_rows.append(np.zeros(0, np.int64))
+                    esc_devs.append([])
+                    continue
+                confident = (
+                    out["aligned"] & out["unique"] & ~out["hit_overflow"]
+                    & (out["clip_start"] == 0) & (out["clip_end"] == 0)
+                    & (out["score"] >= p.match * lengths.astype(np.int64)
+                       - slack))
+                rows = np.flatnonzero(~confident)
+                esc_rows.append(rows)
+                esc_devs.append(
+                    self._dispatch_pass(seq[rows], lengths[rows], p)[0]
+                    if rows.size else [])
+            esc_hosts = jax.device_get(esc_devs)
+            for out, rows, h, (seq, lengths) in zip(outs, esc_rows, esc_hosts,
+                                                    jobs):
+                if rows.size:
+                    full = self._collect_pass(
+                        h, (rows.size, seq.shape[1]))
+                    for kk, v in full.items():
+                        out[kk][rows] = v
+
         if self.indel_tier and not p.end_to_end:
-            self._banded_escalate(seq, lengths, out)
+            pend = [self._banded_dispatch(seq, lengths, out)
+                    for out, (seq, lengths) in zip(outs, jobs)]
+            scores = jax.device_get([d for _, _, d in pend])
+            for (rows, oriented, _), sc, out, (seq, lengths) in zip(
+                    pend, scores, outs, jobs):
+                if rows.size:
+                    self._banded_finish(
+                        seq, lengths, out, rows, oriented,
+                        np.concatenate([np.asarray(s) for s in sc])[: rows.size])
+
         if keep_stats:
-            out["stats_handle"] = self._stats_handle
-        return out
+            for out, h in zip(outs, handles):
+                out["stats_handle"] = h
+        return outs
 
     # ------------------------------------------------------------------
     def _stats_dispatch(self, fn, handle, per_read_args, extra=()):
@@ -617,44 +663,42 @@ class Aligner:
              mask.astype(bool)), extra=extra)
         return np.concatenate(host)[: len(pos)]
 
-    def _banded_escalate(self, seq, lengths, out) -> None:
-        """Indel tier: banded affine-gap SW over reads the gapless scorer
-        clipped or rejected (bowtie2-equivalent I/D alignments; the reference
-        learns inPos/inLengths/delPos/delLengths from these CIGARs,
-        Figbird.cpp:291-487, and spots xMyIzM gap spanners,
-        Preprocess.cpp:885-925).
-
-        Mutates ``out`` in place for winners (banded beats gapless) and
-        attaches ``out["indel"]`` (bool mask) + ``out["indel_detail"]``
-        ({row: traceback dict, events in aligned-orientation read cycles}).
+    def _banded_dispatch(self, seq, lengths, out):
+        """Indel-tier phase 1: pick candidates, orient on host, queue banded
+        score batches asynchronously.  Returns (rows, oriented, dev_scores).
         """
-        from .banded import banded_scores_device, host_traceback_batch
+        from .banded import banded_scores_device
 
         bp = self.banded_params
-        p = self.params
+        if not out:
+            return np.zeros(0, np.int64), None, []
+        n_all = len(lengths)
+        out["indel"] = np.zeros(n_all, bool)
+        out["indel_detail"] = {}
         cl = out["clip_start"] + out["clip_end"]
         cand = (out["aligned"] & (cl >= self.indel_min_clip)) | (
             ~out["aligned"] & (out["score"] > 0))
         rows = np.flatnonzero(cand)
-        n_all = len(lengths)
-        out["indel"] = np.zeros(n_all, bool)
-        out["indel_detail"] = {}
         if not rows.size:
-            return
+            return rows, None, []
         L = seq.shape[1]
-        # orient reads as aligned (banded re-scores the chosen strand)
+        # orient reads as aligned (banded re-scores the chosen strand);
+        # host numpy RC — the subset is small and a device round trip here
+        # would serialise the phase
         rc_needed = np.flatnonzero(out["strand"][rows] == 1)
         oriented = seq[rows].copy()
         if rc_needed.size:
-            import jax as _jax
-
             sub = oriented[rc_needed]
-            rc = _jax.device_get(_revcomp_batch(
-                jnp.asarray(sub), jnp.asarray(lengths[rows][rc_needed]
-                                              .astype(np.int32))))
+            lens_s = lengths[rows][rc_needed]
+            comp = np.asarray(COMPLEMENT, np.int8)[sub]
+            src_i = lens_s[:, None] - 1 - np.arange(L)[None, :]
+            rc = np.where(src_i >= 0,
+                          np.take_along_axis(
+                              comp, np.clip(src_i, 0, L - 1), axis=1),
+                          GAP_CODE).astype(np.int8)
             oriented[rc_needed] = rc
         bs = self.batch_size
-        scores = np.empty(rows.size, np.int32)
+        devs = []
         for i in range(0, rows.size, bs):
             sl = slice(i, min(i + bs, rows.size))
             chunk = oriented[sl]
@@ -670,7 +714,33 @@ class Aligner:
             res = banded_scores_device(
                 self._flat2d, jnp.asarray(starts), jnp.asarray(chunk),
                 jnp.asarray(lens_c), bp)
-            scores[sl] = np.asarray(res["score"])[:m]
+            devs.append(res["score"])
+        return rows, oriented, devs
+
+    def _banded_escalate(self, seq, lengths, out) -> None:
+        """Indel tier: banded affine-gap SW over reads the gapless scorer
+        clipped or rejected (bowtie2-equivalent I/D alignments; the reference
+        learns inPos/inLengths/delPos/delLengths from these CIGARs,
+        Figbird.cpp:291-487, and spots xMyIzM gap spanners,
+        Preprocess.cpp:885-925).
+
+        Mutates ``out`` in place for winners (banded beats gapless) and
+        attaches ``out["indel"]`` (bool mask) + ``out["indel_detail"]``
+        ({row: traceback dict, events in aligned-orientation read cycles}).
+        """
+        rows, oriented, devs = self._banded_dispatch(seq, lengths, out)
+        if not rows.size:
+            return
+        sc = jax.device_get(devs)
+        scores = np.concatenate([np.asarray(s) for s in sc])[: rows.size]
+        self._banded_finish(seq, lengths, out, rows, oriented, scores)
+
+    def _banded_finish(self, seq, lengths, out, rows, oriented, scores):
+        from .banded import host_traceback_batch
+
+        bp = self.banded_params
+        p = self.params
+        L = seq.shape[1]
         min_score = (p.min_score_const
                      + p.min_score_log * np.log(np.maximum(
                          lengths[rows], 2).astype(np.float64)))

@@ -997,7 +997,8 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
     # checkGapReads probes run with finalize extras ON regardless of gap
     # size (run(i,fp,g,1,1) — hardcoded 1, Figbird.cpp:6097)
     run_probe = lambda gi_, gl_: fill_batch_gathered(
-        cfg, gap_arrays, put_i(gi_), put_i(gl_), marr, finalize_flag=True)
+        cfg, gap_arrays, put_i(gi_), put_i(gl_), marr, finalize_flag=True,
+        large_break=False)
     run_fin = lambda gi_, gl_, bs, sv, svl, svr: (
         finalize_batch_gathered(cfg, gap_arrays, put_i(gi_), put_i(gl_),
                                 marr, put_i(bs), put_i(sv), put_i(svl),
@@ -1082,6 +1083,8 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
             stats["scan_instances"] += len(probe_rows)
             for gi, (_, np_, strict_gt) in probe_span.items():
                 counts = probe_acc[gi]
+                logger.info("probe gap %d lens %s used %s",
+                            gi, _probe_lengths(plans[gi].gap.length), counts)
                 thresh = 3
                 enough = any((c > thresh) if strict_gt else (c >= thresh)
                              for c in counts)

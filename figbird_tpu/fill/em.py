@@ -679,7 +679,9 @@ def _place_unmapped(cfg, inst, model, probs, eprobs, finalize_flag: bool):
         run_end = jnp.where(next_not_low < 1 << 20, next_not_low - 1,
                             inst["gap_len"] - 1)
         run_len = run_end - run_start + 1
-        qualif = low & (run_len >= 10)
+        # reference closes a region only when (end - start) >= 10, i.e.
+        # run length >= 11 (Figbird.cpp:3950, 3962)
+        qualif = low & (run_len >= 11)
         first_q = jnp.min(jnp.where(qualif, t, 1 << 20))
         last_q = jnp.max(jnp.where(qualif, t, -(1 << 20)))
         any_q = jnp.any(qualif)
@@ -701,13 +703,18 @@ def _place_unmapped(cfg, inst, model, probs, eprobs, finalize_flag: bool):
                 region_perct=region_perct, discont=discont, mx10=mx10)
 
 
-def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool):
+def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool,
+                         large_break: bool | None = None):
     """Unmapped EM: iterate until consensus stable 5x or iteration cap.
 
     fillGap 6323-6344 unmapped branch; for small gaps (large_gap_flag==0) the
     loop runs with finalize extras off and one finalize placeReads at the end
-    (6348-6352).
+    (6348-6352).  ``large_break`` enables the large-gap region early break
+    (6338) — on for the large-gap scan, OFF for checkGapReads probes, which
+    run with finalize extras but no such break (run(), Figbird.cpp:5913-5956).
     """
+    if large_break is None:
+        large_break = finalize_flag
     gap_zone = _gap_zone(inst, cfg)
     counts0 = _counts_flank(inst, cfg)
     counts0 = counts0.at[:, 4].add(jnp.where(gap_zone, 1.0, 0.0))
@@ -756,7 +763,7 @@ def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool):
         probs = compute_probs_gap(counts)
         eprobs = compute_error_probs_gap(probs, model["et"])
         done = comp >= cfg.comp_stable
-        if finalize_flag:
+        if large_break:
             # large-gap early break (6338)
             done = done | (out["region_perct"] * inst["gap_len"].astype(jnp.float32)
                            < 2.0 * cfg.L)
@@ -794,8 +801,10 @@ def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "finalize_flag"))
-def fill_batch(cfg: FillConfig, insts, model, finalize_flag: bool = True):
+@functools.partial(jax.jit, static_argnames=("cfg", "finalize_flag",
+                                               "large_break"))
+def fill_batch(cfg: FillConfig, insts, model, finalize_flag: bool = True,
+               large_break: bool | None = None):
     """vmapped EM over the instance axis.
 
     ``insts``: dict of arrays with leading instance axis; ``model``: shared
@@ -805,7 +814,8 @@ def fill_batch(cfg: FillConfig, insts, model, finalize_flag: bool = True):
     if cfg.partial_mode:
         fn = lambda inst: em_partial_instance(cfg, inst, model)
     else:
-        fn = lambda inst: em_unmapped_instance(cfg, inst, model, finalize_flag)
+        fn = lambda inst: em_unmapped_instance(cfg, inst, model,
+                                               finalize_flag, large_break)
     return jax.vmap(fn)(insts)
 
 
@@ -843,14 +853,17 @@ def _gather_inst(cfg: FillConfig, gap_arrays, gap_idx, gap_len):
     return inst
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "finalize_flag"))
+@functools.partial(jax.jit, static_argnames=("cfg", "finalize_flag",
+                                               "large_break"))
 def fill_batch_gathered(cfg: FillConfig, gap_arrays, gap_idx, gap_len,
-                        model, finalize_flag: bool = True):
+                        model, finalize_flag: bool = True,
+                        large_break: bool | None = None):
     insts = _gather_inst(cfg, gap_arrays, gap_idx, gap_len)
     if cfg.partial_mode:
         fn = lambda inst: em_partial_instance(cfg, inst, model)
     else:
-        fn = lambda inst: em_unmapped_instance(cfg, inst, model, finalize_flag)
+        fn = lambda inst: em_unmapped_instance(cfg, inst, model,
+                                               finalize_flag, large_break)
     return jax.vmap(fn)(insts)
 
 

@@ -117,7 +117,8 @@ class ReferenceHarness:
                      max_read_len: int, itr: int, partial_flag: int,
                      unmapped: int, threads: int, neg_overlap: int,
                      partial_readlen: int, insert_mean: int,
-                     trim: int = 0, set_inputmean: int = 0) -> float:
+                     trim: int = 0, set_inputmean: int = 0,
+                     myout: str | Path | None = None) -> float:
         """FillGaps a.out <15 args> (RunFigbird.sh:352).  Returns seconds.
 
         Includes FillGaps' internal per-thread ``g++ Figbird.cpp`` recompile,
@@ -128,7 +129,7 @@ class ReferenceHarness:
         args = [
             "./fillgaps.out", str(genome_fa), str(max_distance),
             str(max_read_len), str(itr), str(partial_flag), str(unmapped),
-            str(threads), str(self.work / "myout.sam"),
+            str(threads), str(myout or self.work / "myout.sam"),
             f"{self.temp_dir}/", f"{self.gaps_dir}/",
             str(neg_overlap), str(partial_readlen), str(trim),
             str(set_inputmean), str(insert_mean),

@@ -20,9 +20,18 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:  # jax >= 0.4.35 exposes shard_map at top level; experimental is deprecated
-    from jax import shard_map
+    from jax import shard_map as _shard_map_raw
 except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map_raw
+
+
+def shard_map(f, mesh, in_specs, out_specs):
+    try:  # older API needed check_rep=False for untraced replication rules
+        return _shard_map_raw(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_rep=False)
+    except TypeError:  # jax >= 0.8: check_rep removed
+        return _shard_map_raw(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs)
 
 from ..align.core import AlignParams, _align_one_strand, _revcomp_batch, as_rows
 from ..fill.em import FillConfig, em_partial_instance, em_unmapped_instance
@@ -70,7 +79,6 @@ def sharded_align(mesh: Mesh, flat, sorted_codes, sorted_pos, reads, lengths,
                   P("reads")),
         out_specs={kk: P("reads") for kk in
                    ("score", "pos", "start", "end", "n_mis", "strand", "second")},
-        check_rep=False,
     )
     flat = jnp.asarray(flat)
     return fn(jnp.asarray(as_rows(flat)), jnp.int32(flat.shape[0]),
@@ -93,8 +101,7 @@ def sharded_fill(mesh: Mesh, cfg: FillConfig, insts, model,
     # probe output structure once (cheap: eval_shape)
     out_shape = jax.eval_shape(local, insts, model)
     out_specs = jax.tree.map(lambda _: P("reads"), out_shape)
-    fn = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                   check_rep=False)
+    fn = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     return fn(insts, model)
 
 
@@ -105,7 +112,7 @@ def psum_stats(mesh: Mesh, per_shard_hist):
         return jax.lax.psum(jax.lax.psum(h, "reads"), "genome")
 
     fn = shard_map(local, mesh=mesh, in_specs=P("reads"),
-                   out_specs=P(), check_rep=False)
+                   out_specs=P())
     return fn(per_shard_hist)
 
 

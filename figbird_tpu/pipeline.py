@@ -141,7 +141,10 @@ def _learn_model_host(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
     from2 = idx.flat[win2[:, None] + j[None, :]]
     lg2 = alignment_error_log10(model, o2m, r2.length[m], a2["strand"][m],
                                 a2["mism"][m], from2)
-    model.gap_prob_cutoff = compute_gap_prob_cutoff(model, lg2)
+    from .model.error_model import gap_prob_hist
+    hist = gap_prob_hist(lg2)
+    model.gap_prob_cutoff = compute_gap_prob_cutoff(model, hist=hist)
+    model.snapshot = (st, hist)
     return model, n_model
 
 
@@ -256,6 +259,7 @@ def _learn_model_device(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
     if is_distributed():
         hist = np.sum(allgather_obj(hist), axis=0)
     model.gap_prob_cutoff = compute_gap_prob_cutoff(model, hist=hist)
+    model.snapshot = (st, hist)  # myout_temp-equivalent (RunFigbird.sh:287)
     return model, n_model
 
 
@@ -328,6 +332,7 @@ class Pipeline:
         self._reduced: set[int] = set()
         self.itr = 0
         self.saved_model: ErrorModel | None = None
+        self.saved_n_model: int = 0
         self.result = PipelineResult(genome)
         self._aligned_reads = 0
         self._align_seconds = 0.0
@@ -351,12 +356,28 @@ class Pipeline:
         al = Aligner(idx, params, mesh=self.mesh,
                      **self.aligner_kwargs)
         t0 = time.time()
-        a1 = al.align(r1.seq, r1.length, keep_stats=True)
-        a2 = al.align(r2.seq, r2.length, keep_stats=True)
+        a1, a2 = al.align_many([(r1.seq, r1.length), (r2.seq, r2.length)],
+                               keep_stats=True)
         self._align_seconds += time.time() - t0
         self._aligned_reads += 2 * len(r1)
         pt = build_pair_table(idx, a1, a2, r1.length, r2.length, max_insert)
         return idx, a1, a2, pt, al
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _refinalize(model: ErrorModel, genome: Genome, partial_flag: bool,
+                    partial_len: int) -> ErrorModel:
+        """Re-derive a model from a saved myout snapshot under the current
+        iteration's flags (Figbird recomputes thresholds per invocation from
+        whatever myout file it is handed)."""
+        st, hist = getattr(model, "snapshot", (None, None))
+        if st is None:
+            return model
+        out = finalize_model(st, genome.lengths, partial_flag=partial_flag,
+                             partial_len=partial_len)
+        out.gap_prob_cutoff = compute_gap_prob_cutoff(out, hist=hist)
+        out.snapshot = (st, hist)
+        return out
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -392,17 +413,33 @@ class Pipeline:
         partial_len = m_lib.max_read_length
         r1, r2 = self.libs[mi]
         with self.timer.stage("model"):
-            model, n_model = _learn_model(
-                idx, pt, a1, a2, r1, r2, genome.lengths,
-                partial_flag=(mode == "p"), partial_len=partial_len,
-                input_mean=(m_lib.avg_insert_size
-                            if cfgp.set_inputmean else 0.0), aligner=al)
-        if model is None or n_model < self.min_model_pairs:
-            model = self.saved_model
-            if model is None:
-                raise RuntimeError("no model could be learned (too few pairs)")
-        else:
-            self.saved_model = model
+            if self.itr > 1 and self.saved_model is not None:
+                # iterations > 1 use ITERATION 1's myout snapshot
+                # (myout_temp, RunFigbird.sh:287-300, 311-315): the reduced
+                # read set would starve the model otherwise.  Unmapped
+                # iterations replace this with the e2e pass's model below.
+                model = self._refinalize(self.saved_model, genome,
+                                         partial_flag=(mode == "p"),
+                                         partial_len=partial_len)
+                n_model = self.saved_n_model
+            else:
+                model, n_model = _learn_model(
+                    idx, pt, a1, a2, r1, r2, genome.lengths,
+                    partial_flag=(mode == "p"), partial_len=partial_len,
+                    input_mean=(m_lib.avg_insert_size
+                                if cfgp.set_inputmean else 0.0), aligner=al)
+                if model is None or n_model < self.min_model_pairs:
+                    model = self.saved_model
+                    if model is None:
+                        raise RuntimeError(
+                            "no model could be learned (too few pairs)")
+                    model = self._refinalize(model, genome,
+                                             partial_flag=(mode == "p"),
+                                             partial_len=partial_len)
+                    n_model = self.saved_n_model
+                elif self.saved_model is None:
+                    self.saved_model = model  # the iteration-1 snapshot
+                    self.saved_n_model = n_model
 
         with self.timer.stage("triage"):
             tri = Triage(gaps, max_distance=maxD1,
@@ -436,15 +473,21 @@ class Pipeline:
             # e2e pass's own concordant pairs; its measured insert mean (not
             # the configured one) drives checkPos insert geometry
             read_mean = float(t_lib.avg_insert_size)
-            if maxD2 > 250:
-                m2, nm2 = _learn_model(
-                    idx2, pt2, b1, b2, *self.libs[lib_i], genome2.lengths,
-                    partial_flag=False, partial_len=partial_len,
-                    input_mean=(t_lib.avg_insert_size if cfgp.set_inputmean
-                                else 0.0), aligner=al2)
-                if m2 is not None and nm2 >= self.min_model_pairs:
-                    model = m2
+            m2, nm2 = _learn_model(
+                idx2, pt2, b1, b2, *self.libs[lib_i], genome2.lengths,
+                partial_flag=False, partial_len=partial_len,
+                input_mean=(t_lib.avg_insert_size if cfgp.set_inputmean
+                            else 0.0), aligner=al2)
+            if m2 is not None and nm2 >= self.min_model_pairs:
+                model = m2
+                if maxD2 > 250:
                     read_mean = float(m2.insert_mean)
+            elif self.saved_model is not None:
+                # myout < 1000 lines: fall back to the iteration-1 snapshot
+                # (RunFigbird.sh:342-347)
+                model = self._refinalize(self.saved_model, genome,
+                                         partial_flag=False,
+                                         partial_len=partial_len)
             tri2 = Triage(gaps2, max_distance=maxD2,
                           read_mean=read_mean,
                           is_jump=t_lib.is_jump)

@@ -34,6 +34,13 @@ class SimConfig:
     error_rate: float = 0.005
     indel_rate: float = 0.0   # per-read probability of one 1-3bp ins/del
     seed: int = 0
+    # mis-assembly artefacts: gaps whose flanks actually OVERLAP in the truth
+    # (the draft duplicates ``overlap`` chars around an inserted N-run) — the
+    # reference closes these with negative length via find_contig_match
+    # (Figbird.cpp:2176-2267) and gaptofill skip counts (FillGaps.cpp:900-909)
+    neg_gap_count: int = 0
+    neg_gap_len_range: tuple[int, int] = (4, 25)
+    neg_overlap_range: tuple[int, int] = (5, 18)
 
 
 @dataclass
@@ -56,25 +63,45 @@ def simulate(cfg: SimConfig) -> SimData:
     truth = Genome([f"scaf{i}" for i in range(cfg.n_contigs)], contigs)
 
     # --- draft with gaps --------------------------------------------------
-    draft_contigs = [c.copy() for c in contigs]
+    # gap specs in TRUTH coordinates: (start, n_len, consumed) — the draft
+    # replaces ``consumed`` truth chars with an N-run of ``n_len``; negative
+    # ``consumed`` duplicates |consumed| flank chars (a negative gap)
     margin = int(cfg.insert_mean * 2)
-    placed = 0
-    attempts = 0
     min_sep = 2 * cfg.read_len + 50
-    occupied: dict[int, list[tuple[int, int]]] = {i: [] for i in range(cfg.n_contigs)}
-    while placed < cfg.n_gaps and attempts < cfg.n_gaps * 50:
+    specs: dict[int, list[tuple[int, int, int]]] = {
+        i: [] for i in range(cfg.n_contigs)}
+    placed = attempts = 0
+    want = cfg.n_gaps + cfg.neg_gap_count
+    while placed < want and attempts < want * 50:
         attempts += 1
         ci = int(rng.integers(0, cfg.n_contigs))
-        glen = int(rng.integers(cfg.gap_len_range[0], cfg.gap_len_range[1] + 1))
-        L = len(draft_contigs[ci])
+        neg = placed >= cfg.n_gaps
+        if neg:
+            glen = int(rng.integers(*cfg.neg_gap_len_range))
+            consumed = -int(rng.integers(*cfg.neg_overlap_range))
+        else:
+            glen = int(rng.integers(cfg.gap_len_range[0],
+                                    cfg.gap_len_range[1] + 1))
+            consumed = glen
+        L = len(contigs[ci])
         if L < 2 * margin + glen:
             continue
         start = int(rng.integers(margin, L - margin - glen))
-        if any(abs(start - s) < min_sep + gl for s, gl in occupied[ci]):
+        if any(abs(start - s) < min_sep + gl + 32
+               for s, gl, _ in specs[ci]):
             continue
-        draft_contigs[ci][start : start + glen] = 4
-        occupied[ci].append((start, glen))
+        specs[ci].append((start, glen, consumed))
         placed += 1
+    draft_contigs = []
+    for i, c in enumerate(contigs):
+        pieces = []
+        prev = 0
+        for s, glen, consumed in sorted(specs[i]):
+            pieces.append(c[prev:s])
+            pieces.append(np.full(glen, 4, np.int8))
+            prev = s + consumed
+        pieces.append(c[prev:])
+        draft_contigs.append(np.concatenate(pieces) if pieces else c.copy())
     draft = Genome(list(truth.names), draft_contigs)
 
     # --- paired reads from the truth -------------------------------------

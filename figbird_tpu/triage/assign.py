@@ -248,6 +248,9 @@ class Triage:
                          ) -> None:
         """Unmapped pass (samflag==2): one-anchored pairs -> gaps_<g> bundles.
 
+        Only pairs whose MATE1 is mapped and MATE2 unmapped are harvested —
+        the mirrored case 3 (mate1 unmapped) is commented out in the
+        reference (Preprocess.cpp:1380-1463), so those pairs are dropped.
         For jump libs (maxDistance>250) both-mapped discordant pairs are also
         used in both anchor directions (Preprocess.cpp:1202-1343).
         """
@@ -257,8 +260,8 @@ class Triage:
         conc = np.asarray(pt.concordant)
 
         if self.max_distance <= 250:
-            # frag path, fully vectorised prefilter: only one-anchored pairs
-            sel = np.flatnonzero(oa >= 0)
+            # frag path, fully vectorised prefilter: mate1-anchored pairs
+            sel = np.flatnonzero(oa == 0)
             if len(sel) == 0:
                 return
             am = oa[sel]
@@ -279,7 +282,7 @@ class Triage:
 
         # jump path: insert-geometry argmin over gaps — scalar, but only on
         # the (small) candidate subset
-        for i in np.flatnonzero((oa >= 0) | (both & ~conc)):
+        for i in np.flatnonzero((oa == 0) | (both & ~conc)):
             i = int(i)
             o = int(oa[i])
             anchors = [(o, 1 - o)] if o >= 0 else [(0, 1), (1, 0)]
@@ -356,8 +359,17 @@ class Triage:
         # lookups (left overhang / right-clipped) — Python only touches hits
         cand_rows = []
         for m in range(2):
-            mask = aligned_v[:, m] & np.where(
-                conc_v, imperfect, oa_v == m)
+            # mixed (non-concordant) pairs: only the MAPPED MATE1 records
+            # reach checkPos2 — the mate2-mapped mirror is the commented-out
+            # case 3 (Preprocess.cpp:1346-1367 vs 1380-1463).  Both-mapped
+            # discordant pairs enter case 2 as well when maxDistance > 250.
+            if m == 0:
+                both_v = aligned_v[:, 0] & aligned_v[:, 1]
+                mixed_ok = (oa_v == 0) | (
+                    both_v & ~conc_v & (self.max_distance > 250))
+            else:
+                mixed_ok = np.zeros(len(oa_v), bool)
+            mask = aligned_v[:, m] & np.where(conc_v, imperfect, mixed_ok)
             sel = np.flatnonzero(mask)
             if len(sel) == 0:
                 continue

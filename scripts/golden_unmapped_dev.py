@@ -5,7 +5,8 @@ and e2e SAM (samflag=2 pass: unmapped bundles) into the compiled reference,
 runs FillGaps partial_flag=0 unmapped=1, and diffs gap strings + filled
 FASTA against our unmapped fill from the same SAMs.
 """
-import os, sys, shutil
+import logging, os, sys, shutil
+logging.basicConfig(level=logging.INFO, format="# %(message)s")
 sys.path.insert(0, "/root/repo")
 import numpy as np
 import jax
