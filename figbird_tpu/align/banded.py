@@ -42,6 +42,11 @@ class BandedParams:
     mismatch: int = -6      # --mp max
     gap_open: int = -5      # --rdg/--rfg default "5,3"
     gap_extend: int = -3
+    # glocal mode for the unmapped pass (bowtie2 default end-to-end): the
+    # WHOLE read must align (no free end clips; genome-side start still
+    # free) — no zero floor in the DP and the score is read from the final
+    # read row only
+    end_to_end: bool = False
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -81,7 +86,9 @@ def banded_scores_device(flat2d, starts, reads, lengths,
         F_up = jnp.concatenate([F_prev[:, 1:], jnp.full((B, 1), NEG)], axis=1)
         F = jnp.maximum(H_up + op, F_up + ex)
         F = jnp.where(valid_r, F, NEG)
-        H_noE = jnp.maximum(jnp.maximum(diag, F), 0)
+        H_noE = jnp.maximum(diag, F)
+        if not params.end_to_end:
+            H_noE = jnp.maximum(H_noE, 0)  # local: restart anywhere
         # deletion chain along k (lazy-E, exact for op <= ex):
         # E[k] = max_{k'<k} H_noE[k'] + op + ex*(k-1-k')
         g = H_noE - ex * kk[None, :]
@@ -89,12 +96,16 @@ def banded_scores_device(flat2d, starts, reads, lengths,
         m_shift = jnp.concatenate([jnp.full((B, 1), NEG), m[:, :-1]], axis=1)
         E = m_shift + op + ex * (kk[None, :] - 1)  # = op + ex*(k-1-k')
         H = jnp.maximum(H_noE, E)
-        H = jnp.maximum(H, 0)
+        if not params.end_to_end:
+            H = jnp.maximum(H, 0)
         H = jnp.where((i < lengths)[:, None], H, H_prev)
 
         row_best = jnp.max(H, axis=1)
         row_k = jnp.argmax(H, axis=1).astype(jnp.int32)
-        upd = row_best > best
+        if params.end_to_end:  # score read only where the full read ends
+            upd = (i == lengths - 1) & (row_best > best)
+        else:
+            upd = row_best > best
         best = jnp.where(upd, row_best, best)
         bi = jnp.where(upd, i, bi)
         bk = jnp.where(upd, row_k, bk)
@@ -102,7 +113,7 @@ def banded_scores_device(flat2d, starts, reads, lengths,
 
     H0 = jnp.zeros((B, K), jnp.int32)
     F0 = jnp.full((B, K), NEG, jnp.int32)
-    best0 = jnp.zeros(B, jnp.int32)
+    best0 = jnp.full(B, NEG if params.end_to_end else 0, jnp.int32)
     z = jnp.zeros(B, jnp.int32)
     (Hf, Ff, best, bi, bk), _ = jax.lax.scan(
         step, (H0, F0, best0, z, z), jnp.arange(L))
@@ -133,7 +144,7 @@ def host_traceback_batch(reads: np.ndarray, windows: np.ndarray,
     ptr = np.zeros((L + 1, Wn, K), np.int8)   # 0 stop 1 diag 2 F 3 E
     eksrc = np.zeros((L + 1, Wn, K), np.int8)  # E jump target k'
     fopen = np.zeros((L + 1, Wn, K), bool)     # F opened (vs extended)
-    best = np.zeros(Wn, np.int64)
+    best = np.full(Wn, NEG if params.end_to_end else 0, np.int64)
     bi = np.zeros(Wn, np.int64)
     bk = np.zeros(Wn, np.int64)
     live_max = int(rlens.max()) if Wn else 0
@@ -147,7 +158,9 @@ def host_traceback_batch(reads: np.ndarray, windows: np.ndarray,
         f_open = H_up + op_ >= F_up + ex
         Fn = np.where(f_open, H_up + op_, F_up + ex)
         fopen[i + 1] = f_open
-        H_noE = np.maximum(np.maximum(diag, Fn), 0)
+        H_noE = np.maximum(diag, Fn)
+        if not params.end_to_end:
+            H_noE = np.maximum(H_noE, 0)
         # lazy-E with argmax tracking
         g = H_noE - ex * kk[None, :]
         m = np.maximum.accumulate(g, axis=1)
@@ -157,13 +170,16 @@ def host_traceback_batch(reads: np.ndarray, windows: np.ndarray,
         ks_shift = np.concatenate([np.zeros((Wn, 1), np.int64),
                                    marg[:, :-1]], axis=1)
         E = m_shift + op_ + ex * (kk[None, :] - 1)
-        Hn = np.maximum(np.maximum(H_noE, E), 0)
+        Hn = np.maximum(H_noE, E)
+        if not params.end_to_end:
+            Hn = np.maximum(Hn, 0)
         # ptr encodes the H_noE source (0 stop, 1 diag, 2 F) in bits 0-1 and
         # "E wins over H_noE" (a deletion run ending here) in bit 2
         p = np.zeros((Wn, K), np.int8)
         p[diag == H_noE] = 1
         p[Fn == H_noE] = 2
-        p[H_noE == 0] = 0
+        if not params.end_to_end:  # local: 0 marks an alignment start
+            p[H_noE == 0] = 0
         p |= (E > H_noE).astype(np.int8) << 2
         ptr[i + 1] = p
         eksrc[i + 1] = ks_shift.astype(np.int8)
@@ -171,7 +187,10 @@ def host_traceback_batch(reads: np.ndarray, windows: np.ndarray,
         H = np.where(live[:, None], Hn, H)
         F = np.where(live[:, None], Fn, F)
         row_best = H.max(axis=1)
-        upd = live & (row_best > best)
+        if params.end_to_end:
+            upd = (i == rlens - 1) & (row_best > best)
+        else:
+            upd = live & (row_best > best)
         best = np.where(upd, row_best, best)
         bi = np.where(upd, i + 1, bi)
         bk = np.where(upd, H.argmax(axis=1), bk)
@@ -179,7 +198,7 @@ def host_traceback_batch(reads: np.ndarray, windows: np.ndarray,
     out = []
     for w in range(Wn):
         rlen = int(rlens[w])
-        if best[w] <= 0:
+        if best[w] <= (NEG // 2 if params.end_to_end else 0):
             out.append(None)
             continue
         i, k = int(bi[w]), int(bk[w])

@@ -310,6 +310,8 @@ def _align_one_strand(flat2d, flatlen, tables, reads, lengths,
         end=take(sc["end"]),
         n_mis=take(sc["n_mis"]),
         pos=take(cand),
+        cand_i=bi.astype(jnp.int32),  # winning candidate slot (tie-break key
+        # for the genome-sharded combine, parallel/sharded.py)
         hit_overflow=jnp.any(overflow, axis=-1),
     )
     # second best at a distinct genome position
@@ -345,7 +347,7 @@ def align_batch_device(flat2d, flatlen, tables, reads,
     def pick(key):
         return jnp.where(use_rev, rev[key], fwd[key])
 
-    out = {key: pick(key) for key in ("score", "n_mis", "pos")}
+    out = {key: pick(key) for key in ("score", "n_mis", "pos", "cand_i")}
     out["hit_overflow"] = fwd["hit_overflow"] | rev["hit_overflow"]
     # mismatch mask recomputed for the winning candidate only (one window
     # per read instead of one per candidate); bit-packed because D2H of a
@@ -406,7 +408,8 @@ class Aligner:
                  batch_size: int = 32768, two_tier: bool = True,
                  cheap_params: AlignParams | None = None, mesh=None,
                  indel_tier: bool = True, indel_min_clip: int = 4,
-                 indel_win_margin: int = 4, banded_params=None):
+                 indel_win_margin: int = 4, banded_params=None,
+                 use_buckets: bool = True):
         self.index = index
         self.params = params
         self.indel_tier = indel_tier
@@ -419,16 +422,23 @@ class Aligner:
         self.banded_params = banded_params
         self.mesh = mesh
         self._shd = None
+        self._gshard_fns: dict = {}
+        self._genome_sharded = False
         if mesh is not None:
             # data-parallel over the mesh's reads axis: index replicated,
             # read batches sharded; XLA SPMD-partitions align_batch_device
-            # with zero collectives (genome axis replication)
+            # with zero collectives.  When the mesh carries a genome axis
+            # > 1, the k-mer table shards by code range instead and the
+            # per-shard bests combine with an all-gather + argmax
+            # (parallel/sharded.py: make_genome_sharded_align) — the path
+            # for indexes larger than one chip's HBM (BASELINE configs 4-5).
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             n_rd = mesh.shape["reads"]
             batch_size = batch_size * n_rd
             self._shd = NamedSharding(mesh, P("reads"))
             self._rep = NamedSharding(mesh, P())
+            self._genome_sharded = mesh.shape.get("genome", 1) > 1
         self.batch_size = batch_size
         self.two_tier = two_tier
         if cheap_params is None:
@@ -445,6 +455,32 @@ class Aligner:
             )
         self._flat2d = jnp.asarray(as_rows(index.flat))
         self._flatlen = jnp.int32(len(index.flat))
+        if self._genome_sharded:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.sharded import split_index_by_code
+
+            ns = self.mesh.shape["genome"]
+            codes, pos = split_index_by_code(
+                index.sorted_codes.astype(np.int32),
+                index.sorted_pos.astype(np.int32), ns)
+            gshd = NamedSharding(self.mesh, P("genome"))
+            self._gcodes = jax.device_put(jnp.asarray(codes), gshd)
+            self._gpos = jax.device_put(jnp.asarray(pos), gshd)
+            self._prefix_shift = None
+            self._tables = {}
+            self._flat2d = jax.device_put(self._flat2d, self._rep)
+            return
+        if not use_buckets:
+            # direct searchsorted tables — the same enumeration the genome-
+            # sharded path uses (bit-equality baseline in tests)
+            self._prefix_shift = None
+            self._tables = dict(
+                sorted_codes=jnp.asarray(index.sorted_codes.astype(np.int32)),
+                sorted_pos=jnp.asarray(index.sorted_pos.astype(np.int32)))
+            if self._shd is not None:
+                self._flat2d = jax.device_put(self._flat2d, self._rep)
+                self._tables = jax.device_put(self._tables, self._rep)
+            return
         if index.bucket_starts is None:
             index.build_buckets()
         self._prefix_shift = 2 * (index.k - index.prefix_bases)
@@ -499,13 +535,27 @@ class Aligner:
                 dev_chunk = _jax.device_put(dev_chunk, self._shd)
                 dev_lens = _jax.device_put(dev_lens, self._shd)
             handle.append((dev_chunk, dev_lens))
-            res = align_batch_device(
-                self._flat2d, self._flatlen, self._tables,
-                dev_chunk, dev_lens,
-                self.index.k, params, self._prefix_shift,
-            )
+            if self._genome_sharded:
+                res = self._gshard_fn(params)(
+                    self._flat2d, self._flatlen, self._gcodes, self._gpos,
+                    dev_chunk, dev_lens)
+            else:
+                res = align_batch_device(
+                    self._flat2d, self._flatlen, self._tables,
+                    dev_chunk, dev_lens,
+                    self.index.k, params, self._prefix_shift,
+                )
             outs.append(res)  # device arrays; do NOT sync here
         return outs, handle
+
+    def _gshard_fn(self, params):
+        fn = self._gshard_fns.get(params)
+        if fn is None:
+            from ..parallel.sharded import make_genome_sharded_align
+
+            fn = make_genome_sharded_align(self.mesh, self.index.k, params)
+            self._gshard_fns[params] = fn
+        return fn
 
     @staticmethod
     def _collect_pass(host: list, shape) -> dict[str, np.ndarray]:
@@ -582,7 +632,7 @@ class Aligner:
                     for kk, v in full.items():
                         out[kk][rows] = v
 
-        if self.indel_tier and not p.end_to_end:
+        if self.indel_tier:
             pend = [self._banded_dispatch(seq, lengths, out)
                     for out, (seq, lengths) in zip(outs, jobs)]
             scores = jax.device_get([d for _, _, d in pend])
@@ -669,15 +719,21 @@ class Aligner:
         """
         from .banded import banded_scores_device
 
-        bp = self.banded_params
+        bp = self._banded_params_for_mode()
         if not out:
             return np.zeros(0, np.int64), None, []
         n_all = len(lengths)
         out["indel"] = np.zeros(n_all, bool)
         out["indel_detail"] = {}
-        cl = out["clip_start"] + out["clip_end"]
-        cand = (out["aligned"] & (cl >= self.indel_min_clip)) | (
-            ~out["aligned"] & (out["score"] > 0))
+        if self.params.end_to_end:
+            # glocal re-score: any unaligned read may hide an indel (its
+            # gapless e2e score collapses after the event) — bowtie2's
+            # default mode emits I/D alignments here (RunFigbird.sh:329-333)
+            cand = ~out["aligned"]
+        else:
+            cl = out["clip_start"] + out["clip_end"]
+            cand = (out["aligned"] & (cl >= self.indel_min_clip)) | (
+                ~out["aligned"] & (out["score"] > 0))
         rows = np.flatnonzero(cand)
         if not rows.size:
             return rows, None, []
@@ -717,6 +773,13 @@ class Aligner:
             devs.append(res["score"])
         return rows, oriented, devs
 
+    def _banded_params_for_mode(self):
+        from dataclasses import replace as _rp
+
+        if self.params.end_to_end and not self.banded_params.end_to_end:
+            return _rp(self.banded_params, end_to_end=True)
+        return self.banded_params
+
     def _banded_escalate(self, seq, lengths, out) -> None:
         """Indel tier: banded affine-gap SW over reads the gapless scorer
         clipped or rejected (bowtie2-equivalent I/D alignments; the reference
@@ -738,12 +801,17 @@ class Aligner:
     def _banded_finish(self, seq, lengths, out, rows, oriented, scores):
         from .banded import host_traceback_batch
 
-        bp = self.banded_params
+        bp = self._banded_params_for_mode()
         p = self.params
         L = seq.shape[1]
-        min_score = (p.min_score_const
-                     + p.min_score_log * np.log(np.maximum(
-                         lengths[rows], 2).astype(np.float64)))
+        if p.end_to_end:
+            min_score = (p.e2e_min_const
+                         + p.e2e_min_per_base
+                         * lengths[rows].astype(np.float64))
+        else:
+            min_score = (p.min_score_const
+                         + p.min_score_log * np.log(np.maximum(
+                             lengths[rows], 2).astype(np.float64)))
         # margin: a banded "win" of < margin over the gapless score is noise
         # (a spurious 1bp gap recovering a clipped mismatch), not an indel —
         # real 1-3bp indels on clean reads gain 2*clip - gap_cost >> margin

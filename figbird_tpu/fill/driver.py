@@ -886,8 +886,12 @@ def fill_gaps(
     stats = {"skipped": 0, "neg_merged": 0, "filled": 0, "scan_instances": 0,
              "buckets": 0}
 
+    import time as _time
+
+    _t0 = _time.time()
     plans = plan_gaps(genome, gaps, bundles, partial_mode, partial_len,
                       neg_overlap, max_scan_lengths)
+    stats["t_plan"] = round(_time.time() - _t0, 3)
 
     active: list[int] = []
     for gi, plan in enumerate(plans):
@@ -952,6 +956,8 @@ def fill_gaps(
         _fill_bucket(genome, plans, gids, cfg, marr, large, partial_mode,
                      ib, scan_block, out_strings, placements, stats,
                      second_best, mesh=mesh)
+    logger.info("fill timers: %s", {k: v for k, v in stats.items()
+                                    if k.startswith("t_")})
 
     return FillResult(out_strings, gaptofill, stats, placements, second_best)
 
@@ -965,7 +971,11 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
     ``instance_batch`` (gap_idx, gap_len) pairs against bucket-resident gap
     arrays — each batch is one cached compile per FillConfig.
     """
+    import time as _time
+
+    _t0 = _time.time()
     gap_arrays = _build_gap_arrays(genome, [plans[g] for g in gids], cfg)
+    stats["t_build"] = stats.get("t_build", 0) + round(_time.time() - _t0, 3)
     row_of = {gi: r for r, gi in enumerate(gids)}
 
     RES_KEYS = ("likelihood", "valid", "consensus", "accept", "pos")
@@ -1005,6 +1015,7 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
                                 put_i(svr)))
 
     def _dispatch(rows, lens, owners, collect=True):
+        _td = _time.time()
         dev_outs = []
         nb = instance_batch
         for i0 in range(0, len(rows), nb):
@@ -1020,8 +1031,14 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
             # time on tunnel-attached TPUs
             dev_outs.append({k: out[k] for k in RES_KEYS + EXT_KEYS
                              if k in out})
+        stats["t_scan_disp"] = stats.get("t_scan_disp", 0) + round(
+            _time.time() - _td, 3)
+        _td = _time.time()
+        host_outs = jax.device_get(dev_outs)
+        stats["t_scan_get"] = stats.get("t_scan_get", 0) + round(
+            _time.time() - _td, 3)
         at = 0
-        for out in jax.device_get(dev_outs):
+        for out in host_outs:
             m = min(instance_batch, len(rows) - at)
             for ci in range(m):
                 gi = owners[at + ci]
@@ -1174,6 +1191,7 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
                          ext.get("region_perct", np.zeros(1))[sel[best_j]]
                          if not partial_mode else 0.0))
 
+    _tf = _time.time()
     fin_outs = []
     nb = instance_batch
     for i0 in range(0, len(fin_rows), nb):
@@ -1204,6 +1222,9 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
             fin_outs.append(run_fin(gi_, gl_, best, jnp.asarray(sv),
                                     None, None))
     fin_outs = jax.device_get(fin_outs)
+    stats["t_finalize"] = stats.get("t_finalize", 0) + round(
+        _time.time() - _tf, 3)
+    _tg = _time.time()
 
     for i0 in range(0, len(fin_rows), nb):
         fout = fin_outs[i0 // nb]
@@ -1225,6 +1246,7 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
             seqs = (plan.bundle.p_seq if partial_mode else plan.bundle.u_seq)
             placements[gi] = [(int(k), int(pp[k]), seqs[k])
                               for k in range(len(seqs)) if facc[k]]
+    stats["t_guard"] = stats.get("t_guard", 0) + round(_time.time() - _tg, 3)
 
 
 def _finish_unmapped(plan, best_len, cfg, fout, ci, res, sel, orig_j,

@@ -75,9 +75,39 @@ ONEHOT5 = np.eye(5, dtype=np.float32)
 
 
 def _onehot5(reads: jnp.ndarray, jvalid: jnp.ndarray) -> jnp.ndarray:
-    """(..., L) int8 -> (..., L, 5) f32 one-hot, zeroed outside the read."""
+    """(..., L) int8 -> (..., L, 5) f32 one-hot, zeroed outside the read.
+
+    NOTE: only for small/host-facing uses — a (P, L, 5) tensor tile-pads its
+    5-minor dim to 128 lanes on TPU (25x HBM); the EM hot path uses the flat
+    builders below instead.
+    """
     oh = jnp.asarray(ONEHOT5)[reads]
     return oh * jvalid[..., None].astype(jnp.float32)
+
+
+def _oh_flat_j(reads: jnp.ndarray, jvalid: jnp.ndarray) -> jnp.ndarray:
+    """Flat j-major one-hot (..., L*5): column j*5+c == (read[j] == c).
+
+    Built with a column-repeat + iota compare — no (.., L, 5) intermediate,
+    so nothing with a tiny minor dim ever hits HBM.
+    """
+    L = reads.shape[-1]
+    r5 = jnp.repeat(reads, 5, axis=-1)           # [.., j*5+k] = read[j]
+    v5 = jnp.repeat(jvalid, 5, axis=-1)
+    cvec = jnp.tile(jnp.arange(5, dtype=reads.dtype), L)
+    return ((r5 == cvec[None, :]) & v5).astype(jnp.float32)
+
+
+def _oh_flat_c(reads: jnp.ndarray, jvalid: jnp.ndarray) -> jnp.ndarray:
+    """Flat c-major one-hot (..., 5*L): column c*L+j == (read[j] == c).
+
+    The count-accumulation layout: per-c blocks are contiguous, so the
+    diagonal fold runs on (Wp, L) slabs."""
+    L = reads.shape[-1]
+    r5 = jnp.tile(reads, (1, 5))                 # [.., c*L+j] = read[j]
+    v5 = jnp.tile(jvalid, (1, 5))
+    cvec = jnp.repeat(jnp.arange(5, dtype=reads.dtype), L)
+    return ((r5 == cvec[None, :]) & v5).astype(jnp.float32)
 
 
 def compute_probs_gap(counts: jnp.ndarray) -> jnp.ndarray:
@@ -99,53 +129,78 @@ def compute_error_probs_gap(probs: jnp.ndarray, et: jnp.ndarray) -> jnp.ndarray:
 from ..ops import band_score
 
 
-def _soft_K(probs, eprobs, e_pos, W):
-    """log factor tensor for the soft pass: F[w,j,c].
+def _sel_jm(L: int) -> np.ndarray:
+    """(5, L*5) j-major column selector: Sel[c, j*5+c] = 1."""
+    s = np.zeros((5, L * 5), np.float32)
+    for j in range(L):
+        for c in range(5):
+            s[c, j * 5 + c] = 1.0
+    return s
 
-    c<4: A[w,c]*(1-e_j) + e_j*B[w,c];  c==4 (read N): e_j*B[w,4]
-    (Figbird.cpp:3160-3165).
+
+def _soft_K(probs, eprobs, e_pos, W):
+    """log factor tensor for the soft pass, flat j-major (W, L*5).
+
+    Column j*5+c: c<4: A[w,c]*(1-e_j) + e_j*B[w,c]; c==4 (read N):
+    e_j*B[w,4] — A[:,4]==0 (computeProbsGap zeroes the N column), so the
+    first formula covers both (Figbird.cpp:3160-3165).  Built entirely in
+    (W, L5) layout — the obvious (W, L, 5) tensor tile-pads 5 -> 128 lanes
+    and OOMs at production instance batches.
     """
-    e = e_pos[None, :, None]  # (1,L,1)
-    A = probs[:, None, :]     # (W,1,5)
-    B = eprobs[:, None, :]
-    F = A * (1.0 - e) + e * B
-    Fn = e * B[..., 4:5]  # N column
-    F = jnp.concatenate([F[..., :4], Fn], axis=-1)
+    L = e_pos.shape[0]
+    sel = jnp.asarray(_sel_jm(L))
+    A5 = probs @ sel          # (W, L5)
+    B5 = eprobs @ sel
+    e5 = jnp.repeat(e_pos, 5)[None, :]
+    F = A5 * (1.0 - e5) + e5 * B5
     return jnp.log(jnp.maximum(F, 1e-300))
 
 
 def _hard_K(gap_string, e_match, e_mis, ln_et):
-    """log factor tensor vs a fixed consensus: match a_j, else b_j+lnET[g,c].
-
-    (Figbird.cpp:3398-3406 / 5057-5064.)
+    """log factor tensor vs a fixed consensus, flat j-major (W, L*5):
+    column j*5+c = a_j if c == g[w] else b_j + lnET[g[w], c]
+    (Figbird.cpp:3398-3406 / 5057-5064).  Flat construction — see _soft_K.
     """
+    L = e_match.shape[0]
+    sel = jnp.asarray(_sel_jm(L))
     g = gap_string  # (W,) int8 codes 0..5 (5 = outside contig)
     gs = jnp.minimum(g, 4)
-    lnrow = ln_et[gs]  # (W,5)
-    is_match = jnp.asarray(ONEHOT5)[gs]  # (W,5) indicator c==g
-    a = e_match[None, :, None]  # (1,L,1) ln(1-e-in-del)
-    b = e_mis[None, :, None]    # ln(e)
-    K = jnp.where(is_match[:, None, :] > 0, a, b + lnrow[:, None, :])
+    gs5 = jnp.stack([(gs == c) for c in range(5)],
+                    axis=1).astype(jnp.float32)        # (W, 5)
+    lnrow5 = (gs5 @ ln_et.astype(jnp.float32)) @ sel   # (W, L5)
+    ismatch5 = gs5 @ sel                               # 1 where c == g[w]
+    a5 = jnp.repeat(e_match, 5)[None, :]
+    b5 = jnp.repeat(e_mis, 5)[None, :]
+    K = jnp.where(ismatch5 > 0, a5, b5 + lnrow5)
     # reference skips the factor entirely when fromCharCode invalid; mimic by 0
-    K = jnp.where((g >= 5)[:, None, None], 0.0, K)
-    return K
+    return jnp.where((g >= 5)[:, None], 0.0, K)
 
 
-def _fold_counts(cw: jnp.ndarray, W: int) -> jnp.ndarray:
-    """cw (Wp, L, 5) weighted window counts -> counts (W, 5): counts[p+j] += cw[p,j].
+def _fold_slab(slab: jnp.ndarray, W: int) -> jnp.ndarray:
+    """slab (Wp, L) -> out (W,): out[p+j] += slab[p, j].
 
-    Inverse skew trick (no roll loop): flatten cw^T (L, Wp) padded to row
-    length Wp+L, then re-reading with row length Wp+L-1 shifts row j right by
-    j, so column w of row j holds cw[w-j, j]; out-of-range diagonals land in
-    the zero padding.  One pad + reshape + sum instead of L rolls.
+    Inverse skew trick (no roll loop): transpose to (L, Wp), pad each row to
+    length Wp+L+1, then re-read with row length Wp+L so row j shifts right by
+    j; out-of-range diagonals land in the zero padding.  One pad + reshape +
+    sum instead of L rolls.
     """
-    Wp, L, C = cw.shape
-    RL = Wp + L + 1  # row length; re-reading at RL-1 == W shifts row j by +j
-    At = cw.transpose(1, 0, 2)  # (L, Wp, 5)
-    Ap = jnp.concatenate([At, jnp.zeros((L, L + 1, C), cw.dtype)], axis=1)
-    flat = Ap.reshape(L * RL, C)
-    skew = flat[: L * (RL - 1)].reshape(L, RL - 1, C)
-    return skew[:, :W, :].sum(axis=0)
+    Wp, L = slab.shape
+    RL = Wp + L + 1
+    At = slab.T  # (L, Wp)
+    Ap = jnp.concatenate([At, jnp.zeros((L, L + 1), slab.dtype)], axis=1)
+    flat = Ap.reshape(L * RL)
+    skew = flat[: L * (RL - 1)].reshape(L, RL - 1)
+    return skew[:, :W].sum(axis=0)
+
+
+def _fold_counts_cmajor(cw: jnp.ndarray, L: int, W: int) -> jnp.ndarray:
+    """cw (Wp, 5*L) c-major window counts -> counts (W, 5):
+    counts[p+j, c] += cw[p, c*L+j].  Five contiguous (Wp, L) slab folds —
+    a (Wp, L, 5) layout would tile-pad 5 -> 128 lanes on TPU.
+    """
+    return jnp.stack(
+        [_fold_slab(cw[:, c * L : (c + 1) * L], W) for c in range(5)],
+        axis=1)
 
 
 def consensus_from_counts(counts, gap_zone, check, cov_thresh):
@@ -171,13 +226,24 @@ def partial_stack_probs(pr, p_clip, p_match, p_len, p_valid, max_gap_len, gap_le
     t = jnp.arange(max_gap_len)[None, :]  # gap position
     oh4 = jnp.asarray(ONEHOT4)
 
+    def _counts4(mask, ch):
+        """sum_p mask & (ch == c | ch == N) per gap position -> (maxG, 4).
+
+        A gathered one-hot (P, maxG, 4) would tile-pad its 4-minor dim to
+        128 lanes on TPU (32x HBM inflation — OOM at production instance
+        batches); four masked reductions keep the minor axis at maxG.
+        """
+        return jnp.stack(
+            [jnp.sum(jnp.where(mask & ((ch == c) | (ch == 4)), 1.0, 0.0),
+                     axis=0) for c in range(4)], axis=1)
+
     left = (p_match == 1) | (p_match == 4)
     # match 1/4: read[clip+1+t] -> gap pos t, t < stop1 = min(len-clip-1, gap_len)
     stop1 = jnp.minimum(p_len - p_clip - 1, gap_len)
     idx_l = jnp.clip(p_clip[:, None] + 1 + t, 0, L - 1)
     ch_l = jnp.take_along_axis(pr, idx_l, axis=1)
     m_l = (t < stop1[:, None]) & left[:, None] & p_valid[:, None]
-    cnt_l = jnp.einsum("pt,ptc->tc", m_l.astype(jnp.float32), oh4[ch_l])
+    cnt_l = _counts4(m_l, ch_l)
 
     # match 2/3: read[clip-1-u] -> gap pos gap_len-1-u, u < chars = min(clip, gap_len)
     right = (p_match == 2) | (p_match == 3)
@@ -186,7 +252,7 @@ def partial_stack_probs(pr, p_clip, p_match, p_len, p_valid, max_gap_len, gap_le
     idx_r = jnp.clip(p_clip[:, None] - 1 - u, 0, L - 1)
     ch_r = jnp.take_along_axis(pr, idx_r, axis=1)
     m_r = (u < chars[:, None]) & right[:, None] & p_valid[:, None]
-    cnt_r_rev = jnp.einsum("pt,ptc->tc", m_r.astype(jnp.float32), oh4[ch_r])
+    cnt_r_rev = _counts4(m_r, ch_r)
     # reverse into gap coordinates: u -> gap_len-1-u
     gpos = gap_len - 1 - jnp.arange(max_gap_len)
     cnt_r = jnp.zeros_like(cnt_r_rev).at[jnp.clip(gpos, 0, max_gap_len - 1)].add(
@@ -254,13 +320,14 @@ def _score(oh_flat, K, Wp):
     return band_score(oh_flat, K, Wp)
 
 
-def _accumulate(weights, oh_count_flat, cfg):
-    """Soft/hard count accumulation: (Wp,N)@(N,L5) then diagonal fold -> (W,5)."""
+def _accumulate(weights, oh_count_cmajor, cfg):
+    """Soft/hard count accumulation: (Wp,N)@(N,5L c-major) then per-c
+    diagonal folds -> (W,5)."""
     cw = jax.lax.dot_general(
-        weights.T, oh_count_flat, (((1,), (0,)), ((), ())),
+        weights.T, oh_count_cmajor, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(cfg.Wp, cfg.L, 5)
-    return _fold_counts(cw, cfg.W)
+    )
+    return _fold_counts_cmajor(cw, cfg.L, cfg.W)
 
 
 def _detect_overlap_partial(cfg, inst, accept, pos_gap, bonus_cap=None):
@@ -483,23 +550,28 @@ def _update_reanchor(cfg: FillConfig, inst, counts, gc, accept, has_place,
     has_l = has_l & elig & ok0 & any_q
     has_r = has_r & elig & ok1 & any_q
 
-    oh4 = jnp.asarray(ONEHOT4)
     ri = jnp.arange(L)[None, :]
     # left votes: read char ri lands at index0 - match + 1 + ri (4224-4238)
     pos_l = index0 - match_l[:, None] + 1 + ri
     val_l = has_l[:, None] & (pos_l > index0) & (pos_l < gl) & (ri < rl[:, None])
     w_l = jnp.where(val_l, match_l[:, None], 0).astype(jnp.float32)
-    cp = jnp.zeros((mgl, 4), jnp.float32).at[
-        jnp.clip(pos_l, 0, mgl - 1).reshape(-1)
-    ].add((w_l[:, :, None] * oh4[ur]).reshape(-1, 4))
     # right votes: reversed char ri lands at index1 + match - 1 - ri (4283-4299)
     pos_r = index1 + match_r[:, None] - 1 - ri
     val_r = has_r[:, None] & (pos_r < index1) & (pos_r >= 0) & (ri < rl[:, None])
     w_r = jnp.where(val_r, match_r[:, None], 0).astype(jnp.float32)
     rev_all = jnp.take_along_axis(ur, jnp.clip(rl[:, None] - 1 - ri, 0, L - 1),
                                   axis=1)
-    cp = cp.at[jnp.clip(pos_r, 0, mgl - 1).reshape(-1)].add(
-        (w_r[:, :, None] * oh4[rev_all]).reshape(-1, 4))
+    # per-base scatter columns (an (R, L, 4) one-hot update would tile-pad
+    # its 4-minor dim 32x on TPU); read-N spreads over ACGT (ONEHOT4[4]=1)
+    idx_l = jnp.clip(pos_l, 0, mgl - 1).reshape(-1)
+    idx_r = jnp.clip(pos_r, 0, mgl - 1).reshape(-1)
+    cols = []
+    for c in range(4):
+        wl_c = jnp.where((ur == c) | (ur == 4), w_l, 0.0).reshape(-1)
+        wr_c = jnp.where((rev_all == c) | (rev_all == 4), w_r, 0.0).reshape(-1)
+        col = jnp.zeros((mgl,), jnp.float32).at[idx_l].add(wl_c)
+        cols.append(col.at[idx_r].add(wr_c))
+    cp = jnp.stack(cols, axis=1)
 
     # left partial-majority fallback (4310-4321): reference's post-loop flag1
     # is the LAST eligible read's insert flag (loop-variable reuse quirk)
@@ -509,7 +581,10 @@ def _update_reanchor(cfg: FillConfig, inst, counts, gc, accept, has_place,
     len_pl = jnp.maximum(left_max - 4 + 1 - 1, 0)  # chars at i <= left_max-5
     fb = flag1_last & (jnp.sum(has_l) == 0) & (index0 < len_pl)
     fb_pos = fb & (t > index0) & (t < len_pl)
-    cp = cp + jnp.where(fb_pos[:, None], oh4[jnp.minimum(pl_major, 4)], 0.0)
+    plm = jnp.minimum(pl_major, 4)
+    fb4 = jnp.stack([((plm == c) | (plm == 4)).astype(jnp.float32)
+                     for c in range(4)], axis=1)
+    cp = cp + jnp.where(fb_pos[:, None], fb4, 0.0)
 
     # replace countsGap rows that got votes with frequencies (4334-4352)
     tot = cp.sum(axis=1)
@@ -530,10 +605,9 @@ def _update_reanchor(cfg: FillConfig, inst, counts, gc, accept, has_place,
 
 def _counts_flank(inst, cfg):
     """initialize (2298-2383): flank one-hots outside the gap zone."""
-    oh = jnp.asarray(ONEHOT5)
     tmpl = inst["tmpl"]
     base = jnp.where((tmpl >= 0) & (tmpl <= 4), jnp.minimum(tmpl, 4), 4)
-    c = oh[base]
+    c = jnp.stack([(base == k).astype(jnp.float32) for k in range(5)], axis=1)
     c = jnp.where((tmpl >= 5)[:, None], 0.0, c)  # outside contig: no counts
     return c
 
@@ -551,8 +625,8 @@ def _place_partial(cfg, inst, model, probs, eprobs, track_orig):
     jv_count = j < plen
     jv_score = jv_count & jnp.where(left, j >= cfg.clip_thresh,
                                     j < plen - cfg.clip_thresh)
-    oh_score = _onehot5(inst["pr"], jv_score).reshape(P, L * 5)
-    oh_count = _onehot5(inst["pr"], jv_count).reshape(P, L * 5)
+    oh_score = _oh_flat_j(inst["pr"], jv_score)
+    oh_count = _oh_flat_c(inst["pr"], jv_count)
     legal = _legal_partial(cfg, inst, model)
     gap_zone = _gap_zone(inst, cfg)
 
@@ -620,7 +694,8 @@ def _place_unmapped(cfg, inst, model, probs, eprobs, finalize_flag: bool):
     R, L = inst["ur"].shape
     j = jnp.arange(L)[None, :]
     jv = j < inst["u_len"][:, None]
-    oh = _onehot5(inst["ur"], jv).reshape(R, L * 5)
+    oh = _oh_flat_j(inst["ur"], jv)
+    oh_cnt = _oh_flat_c(inst["ur"], jv)
     legal, t_ins = _legal_unmapped(cfg, inst, model)
     gap_zone = _gap_zone(inst, cfg)
     prior = model["ln_ins"][t_ins]  # (R,Wp) natural log of smoothed pmf
@@ -634,7 +709,7 @@ def _place_unmapped(cfg, inst, model, probs, eprobs, finalize_flag: bool):
     lnP = jnp.where(rev, ln_r, ln_f) + prior
     lnP = jnp.where(legal, lnP, NEG)
     w_soft = jnp.where(legal, jnp.exp(jnp.maximum(0.5 * lnP / LN10, -700.0)), 0.0)
-    soft = _accumulate(w_soft, oh, cfg)
+    soft = _accumulate(w_soft, oh_cnt, cfg)
     counts = jnp.where(gap_zone[:, None], soft, _counts_flank(inst, cfg))
 
     mx10 = jnp.max(lnP, axis=1) / LN10
@@ -656,7 +731,7 @@ def _place_unmapped(cfg, inst, model, probs, eprobs, finalize_flag: bool):
     # hard counts at max positions only (3868-3879)
     w_hard = (accept[:, None] & (jnp.arange(cfg.Wp)[None, :] ==
                                  (pos_h + cfg.WL)[:, None])).astype(jnp.float32)
-    new_counts = _accumulate(w_hard, oh, cfg)
+    new_counts = _accumulate(w_hard, oh_cnt, cfg)
     new_counts = jnp.where(gap_zone[:, None], new_counts, 0.0)
 
     cons2, cov = consensus_from_counts(new_counts, gap_zone, 1,
@@ -894,7 +969,8 @@ def finalize_unmapped_instance(cfg: FillConfig, inst, model, best_string, saved)
     gap_string = jnp.where(gap_zone, bw, inst["tmpl"])
     j = jnp.arange(L)[None, :]
     jv = j < inst["u_len"][:, None]
-    oh = _onehot5(inst["ur"], jv).reshape(R, L * 5)
+    oh = _oh_flat_j(inst["ur"], jv)
+    oh_cnt = _oh_flat_c(inst["ur"], jv)
     legal, _ = _legal_unmapped(cfg, inst, model)
     Kh_f = _hard_K(gap_string, model["a_fwd"], model["b_fwd"], model["ln_et"])
     Kh_r = _hard_K(gap_string, model["a_rev"], model["b_rev"], model["ln_et"])
@@ -907,7 +983,7 @@ def finalize_unmapped_instance(cfg: FillConfig, inst, model, best_string, saved)
               & (saved == 1) & inst["u_valid"])
     w_hard = (accept[:, None] & (jnp.arange(cfg.Wp)[None, :] ==
                                  (pos + cfg.WL)[:, None])).astype(jnp.float32)
-    counts = _accumulate(w_hard, oh, cfg)
+    counts = _accumulate(w_hard, oh_cnt, cfg)
     counts = jnp.where(gap_zone[:, None], counts, 0.0)
 
     gl = inst["gap_len"]
@@ -941,8 +1017,8 @@ def finalize_partial_instance(cfg: FillConfig, inst, model, best_string,
     jv_count = j < plen
     jv_score = jv_count & jnp.where(left, j >= cfg.clip_thresh,
                                     j < plen - cfg.clip_thresh)
-    oh_score = _onehot5(inst["pr"], jv_score).reshape(P, L * 5)
-    oh_count = _onehot5(inst["pr"], jv_count).reshape(P, L * 5)
+    oh_score = _oh_flat_j(inst["pr"], jv_score)
+    oh_count = _oh_flat_c(inst["pr"], jv_count)
     legal = _legal_partial(cfg, inst, model)
     Kh = _hard_K(gap_string, model["a_fwd"], model["b_fwd"], model["ln_et"])
     sh = jnp.where(legal, _score(oh_score, Kh, cfg.Wp), NEG)
@@ -956,8 +1032,7 @@ def finalize_partial_instance(cfg: FillConfig, inst, model, best_string,
     counts = _accumulate(w_hard, oh_count, cfg)
     counts = jnp.where(gap_zone[:, None], counts, 0.0)
     # quality-weighted counts for check_update (5389)
-    ohq = (_onehot5(inst["pr"], jv_count)
-           * inst["p_qerr"][..., None]).reshape(P, L * 5)
+    ohq = oh_count * jnp.tile(inst["p_qerr"], (1, 5))
     qual = _accumulate(w_hard, ohq, cfg)
     qual = jnp.where(gap_zone[:, None], qual, 0.0)
 

@@ -42,8 +42,14 @@ def use_pallas() -> bool:
 
 def band_score_reference(oh_flat: jnp.ndarray, K: jnp.ndarray, Wp: int
                          ) -> jnp.ndarray:
-    """XLA path: skew-materialise Kw then one dot. oh (R, L*5), K (W, L, 5)."""
-    W, L, C = K.shape
+    """XLA path: skew-materialise Kw then one dot.
+
+    oh (R, L*5) and K (W, L*5), both flat j-major (column j*5+c) — the CPU
+    fallback may reshape freely (no TPU tile padding here)."""
+    W = K.shape[0]
+    C = 5
+    L = K.shape[1] // C
+    K = K.reshape(W, L, C)
     Kt = K.transpose(1, 0, 2).reshape(L * W, C)
     pad = jnp.zeros((L, C), K.dtype)
     skew = jnp.concatenate([Kt, pad], axis=0)[: L * (W + 1)].reshape(L, W + 1, C)
@@ -81,13 +87,15 @@ def _band_score_pallas(oh_flat: jnp.ndarray, K: jnp.ndarray, Wp: int
     from jax.experimental.pallas import tpu as pltpu
 
     R, LC = oh_flat.shape
-    W, L, C = K.shape
-    assert LC == L * C
+    W = K.shape[0]
+    C = 5
+    L = LC // C
+    assert K.shape[1] == LC
     n_p = -(-Wp // TP)
     n_r = -(-R // TR)
     Wpad = n_p * TP + L
     Rpad = n_r * TR
-    Kf = K.reshape(W, LC).astype(jnp.float32)
+    Kf = K.astype(jnp.float32)
     if Wpad > W:
         Kf = jnp.concatenate([Kf, jnp.zeros((Wpad - W, LC), jnp.float32)],
                              axis=0)

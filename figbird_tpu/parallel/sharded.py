@@ -118,14 +118,107 @@ def psum_stats(mesh: Mesh, per_shard_hist):
 
 def split_index_by_code(sorted_codes, sorted_pos, n_shards: int):
     """Split a sorted k-mer table into equal-size shards (binary search stays
-    valid per shard since each shard is itself sorted)."""
+    valid per shard since each shard is itself sorted).
+
+    Split points snap to CODE boundaries (all occurrences of a k-mer live in
+    one shard), then every shard pads to the common width with sentinel max
+    codes — required for hit-set equality with the unsharded table: per-shard
+    ``searchsorted`` then enumerates exactly the owner shard's first-H hits.
+    """
     import numpy as np
 
     m = len(sorted_codes)
     per = -(-m // n_shards)
-    pad = per * n_shards - m
-    codes = np.concatenate([sorted_codes,
-                            np.full(pad, np.iinfo(sorted_codes.dtype).max,
-                                    sorted_codes.dtype)])
-    pos = np.concatenate([sorted_pos, np.zeros(pad, sorted_pos.dtype)])
+    bounds = [0]
+    for s in range(1, n_shards):
+        b = min(s * per, m)
+        # advance to the next code boundary
+        while b < m and b > 0 and sorted_codes[b] == sorted_codes[b - 1]:
+            b += 1
+        bounds.append(max(b, bounds[-1]))
+    bounds.append(m)
+    width = max(bounds[i + 1] - bounds[i] for i in range(n_shards))
+    width = max(width, 1)
+    sent = np.iinfo(sorted_codes.dtype).max
+    codes = np.full(n_shards * width, sent, sorted_codes.dtype)
+    pos = np.zeros(n_shards * width, sorted_pos.dtype)
+    for i in range(n_shards):
+        lo, hi = bounds[i], bounds[i + 1]
+        codes[i * width : i * width + hi - lo] = sorted_codes[lo:hi]
+        pos[i * width : i * width + hi - lo] = sorted_pos[lo:hi]
     return codes, pos
+
+
+def make_genome_sharded_align(mesh: Mesh, k: int, params):
+    """Production genome-axis-sharded aligner program.
+
+    Each device runs the FULL per-read alignment (align_batch_device body)
+    against its code-range shard of the k-mer table, then the per-shard bests
+    combine across the ``genome`` axis: winner by score, runner-up across
+    shards for uniqueness, overflow OR-ed.  With code-boundary-aligned shards
+    (split_index_by_code) the hit enumeration per k-mer is identical to the
+    unsharded searchsorted table, so results are bit-equal to a replicated
+    aligner (tests/test_parallel.py).
+    """
+    from ..align.core import align_batch_device
+
+    inner = align_batch_device.__wrapped__
+
+    def local(flat2d, flatlen, codes, pos, reads, lengths):
+        tables = dict(sorted_codes=codes, sorted_pos=pos)
+        out = inner(flat2d, flatlen, tables, reads, lengths, k, params, None)
+        st = {kk: jax.lax.all_gather(v, "genome") for kk, v in out.items()}
+        # winner with the replicated aligner's exact tie-break order:
+        # max score, then forward strand, then lowest candidate slot
+        # (candidate slots are globally indexed; each slot's hit lives in
+        # exactly one shard, so the triple is unique)
+        BIG = jnp.int32(1 << 30)
+        mx = jnp.max(st["score"], axis=0)
+        elig = st["score"] == mx
+        mnst = jnp.min(jnp.where(elig, st["strand"].astype(jnp.int32), 2),
+                       axis=0)
+        elig = elig & (st["strand"].astype(jnp.int32) == mnst[None, :])
+        mnci = jnp.min(jnp.where(elig, st["cand_i"], BIG), axis=0)
+        win = jnp.argmax(elig & (st["cand_i"] == mnci[None, :]), axis=0)
+
+        def take(v):
+            idx = win.reshape((1,) + win.shape + (1,) * (v.ndim - 2))
+            return jnp.take_along_axis(
+                v, jnp.broadcast_to(idx, (1,) + v.shape[1:]), axis=0)[0]
+
+        res = {kk: take(v) for kk, v in st.items()}
+        # runner-up at a DISTINCT GENOME POSITION from the winner (the
+        # replicated uniqueness rule): a shard whose best sits at the winning
+        # position contributes its own runner-up instead
+        masked = jnp.where(st["pos"] == res["pos"][None, :],
+                           st["second"], st["score"])
+        res["second"] = jnp.max(masked, axis=0)
+        res["hit_overflow"] = jnp.any(st["hit_overflow"], axis=0)
+        res["unique"] = res["aligned"] & (res["score"] > res["second"])
+        # post-all-gather values are genome-replicated, but shard_map cannot
+        # infer that statically — make it provable with an explicit psum of
+        # the rank-0 copy
+        gi = jax.lax.axis_index("genome")
+        res = {kk: jax.lax.psum(
+            jnp.where(gi == 0, v, jnp.zeros_like(v)), "genome")
+            if v.dtype != jnp.bool_ else
+            jax.lax.psum(jnp.where(gi == 0, v.astype(jnp.int32),
+                                   0), "genome").astype(jnp.bool_)
+            for kk, v in res.items()}
+        return res
+
+    # out spec: every output sharded along reads
+    def fn(flat2d, flatlen, codes, pos, reads, lengths):
+        probe = jax.eval_shape(
+            lambda r, l: inner(flat2d, flatlen,
+                               dict(sorted_codes=codes, sorted_pos=pos),
+                               r, l, k, params, None), reads, lengths)
+        keys = set(probe) | {"second", "hit_overflow", "unique"}
+        out_specs = {kk: P("reads") for kk in keys}
+        m = shard_map(local, mesh=mesh,
+                      in_specs=(P(), P(), P("genome"), P("genome"),
+                                P("reads", None), P("reads")),
+                      out_specs=out_specs)
+        return m(flat2d, flatlen, codes, pos, reads, lengths)
+
+    return jax.jit(fn)

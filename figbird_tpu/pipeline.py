@@ -565,6 +565,23 @@ class Pipeline:
         with open(wd / "Temp" / "gapInfo.txt", "w") as fh:
             for g in gaps:
                 fh.write(f"{g.contig}\t{g.start}\t{g.length}\n")
+        # interop stat files (Preprocess.cpp:2624-2629; FillGaps gaploads):
+        # totalCount unCount maxReadLength MAX_FRAGMENT_SIZE; per-gap
+        # gaptofill/perfect-read flags; the bucket assignment replaces the
+        # thread loads
+        mlib = self.cfg.read_pairs[self.cfg.min_isz_index]
+        n_reads = 2 * sum(len(a) for a, _ in self.libs)
+        (wd / "Temp" / "stat.txt").write_text(
+            f"{n_reads} 0 {mlib.max_read_length} "
+            f"{max(20000, 2 * mlib.avg_insert_size + 1)}")
+        with open(wd / "Temp" / "stat2.txt", "w") as fh:
+            for i, g in enumerate(gaps):
+                fh.write(f"{int(res.gaptofill[i])}\t0\t0\n")
+        with open(wd / "Temp" / "gaploads.txt", "w") as fh:
+            shapes = res.stats.get("bucket_shapes", {})
+            fh.write(f"{len(shapes)}\n")
+            for key, cnt in shapes.items():
+                fh.write(f"{key}\t{cnt}\n")
         if res.placements is not None:
             recs = []
             for i, (g, s) in enumerate(zip(gaps, res.gap_strings)):

@@ -54,13 +54,21 @@ class SimData:
     true_insert: np.ndarray
 
 
-def simulate(cfg: SimConfig) -> SimData:
+def simulate(cfg: SimConfig, truth: Genome | None = None) -> SimData:
+    """``truth``: reuse an existing truth genome (e.g. to simulate a second
+    read library — frag + jump — over the same ground truth)."""
     rng = np.random.default_rng(cfg.seed)
 
     # --- truth genome -----------------------------------------------------
-    lens = np.full(cfg.n_contigs, cfg.genome_len // cfg.n_contigs, dtype=np.int64)
-    contigs = [rng.integers(0, 4, size=int(L), dtype=np.int8) for L in lens]
-    truth = Genome([f"scaf{i}" for i in range(cfg.n_contigs)], contigs)
+    if truth is None:
+        lens = np.full(cfg.n_contigs, cfg.genome_len // cfg.n_contigs,
+                       dtype=np.int64)
+        contigs = [rng.integers(0, 4, size=int(L), dtype=np.int8)
+                   for L in lens]
+        truth = Genome([f"scaf{i}" for i in range(cfg.n_contigs)], contigs)
+    else:
+        contigs = truth.contigs
+        cfg = SimConfig(**{**cfg.__dict__, "n_contigs": truth.n_contigs})
 
     # --- draft with gaps --------------------------------------------------
     # gap specs in TRUTH coordinates: (start, n_len, consumed) — the draft

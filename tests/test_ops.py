@@ -10,10 +10,13 @@ from figbird_tpu.ops.band import (
 
 
 def _ref_numpy(oh, K, Wp):
+    # K arrives flat j-major (W, L*5)
     R, LC = oh.shape
-    W, L, C = K.shape
+    W = K.shape[0]
+    C = 5
+    L = LC // C
     out = np.zeros((R, Wp), np.float32)
-    Kf = np.asarray(K)
+    Kf = np.asarray(K).reshape(W, L, C)
     ohn = np.asarray(oh).reshape(R, L, C)
     for p in range(Wp):
         for j in range(L):
@@ -25,7 +28,7 @@ def _ref_numpy(oh, K, Wp):
 def test_reference_matches_numpy(R, W, L):
     rng = np.random.default_rng(0)
     Wp = W - L
-    K = jnp.asarray(rng.normal(size=(W, L, 5)).astype(np.float32))
+    K = jnp.asarray(rng.normal(size=(W, L * 5)).astype(np.float32))
     oh = jnp.asarray((rng.random((R, L * 5)) < 0.2).astype(np.float32))
     got = np.asarray(band_score_reference(oh, K, Wp))
     want = _ref_numpy(oh, K, Wp)
@@ -36,7 +39,7 @@ def test_reference_matches_numpy(R, W, L):
 def test_pallas_matches_reference(R, W, L):
     rng = np.random.default_rng(1)
     Wp = W - L
-    K = jnp.asarray(rng.normal(size=(W, L, 5)).astype(np.float32))
+    K = jnp.asarray(rng.normal(size=(W, L * 5)).astype(np.float32))
     oh = jnp.asarray((rng.random((R, L * 5)) < 0.2).astype(np.float32))
     want = np.asarray(band_score_reference(oh, K, Wp))
     got = np.asarray(_band_score_pallas(oh, K, Wp))
@@ -47,7 +50,7 @@ def test_pallas_vmapped():
     rng = np.random.default_rng(2)
     B, R, W, L = 3, 16, 200, 25
     Wp = W - L
-    K = jnp.asarray(rng.normal(size=(B, W, L, 5)).astype(np.float32))
+    K = jnp.asarray(rng.normal(size=(B, W, L * 5)).astype(np.float32))
     oh = jnp.asarray((rng.random((B, R, L * 5)) < 0.2).astype(np.float32))
     want = np.stack([np.asarray(band_score_reference(oh[b], K[b], Wp))
                      for b in range(B)])

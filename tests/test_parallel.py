@@ -65,3 +65,42 @@ def test_psum_stats_reduces():
     expect = per.reshape(n_rd, 4, 4).sum(axis=0) * mesh.shape["genome"]
     assert total.shape == (4, 4)
     np.testing.assert_allclose(total, expect)
+
+
+def test_genome_sharded_aligner_bit_identical():
+    """Production Aligner with a genome-axis mesh (code-range-sharded k-mer
+    table + all-gather/argmax combine) must reproduce the replicated
+    searchsorted aligner bit-for-bit (VERDICT r2 item 5)."""
+    import jax
+
+    from figbird_tpu.align import Aligner, AlignParams, build_index
+    from figbird_tpu.parallel import make_mesh
+    from figbird_tpu.simulate import SimConfig, simulate
+
+    sim = simulate(SimConfig(genome_len=80_000, n_contigs=2, n_gaps=4,
+                             read_len=76, insert_mean=250, insert_sd=20,
+                             coverage=3.0, error_rate=0.004, seed=13))
+    idx = build_index(sim.draft, k=15)
+    r = sim.reads1
+    p = AlignParams(want_mism=False)
+
+    mesh = make_mesh(8, genome_shards=4)
+    al_sh = Aligner(idx, p, mesh=mesh, batch_size=1024, two_tier=False,
+                    indel_tier=False)
+    out_sh = al_sh.align(r.seq, r.length)
+
+    al_ref = Aligner(idx, p, batch_size=1024, two_tier=False,
+                     indel_tier=False, use_buckets=False)
+    out_ref = al_ref.align(r.seq, r.length)
+
+    for kk in ("score", "aligned", "unique", "second"):
+        np.testing.assert_array_equal(
+            np.asarray(out_sh[kk]), np.asarray(out_ref[kk]), err_msg=kk)
+    # placement fields are meaningful only for reads with a candidate
+    al = np.asarray(out_ref["aligned"]) | (
+        np.asarray(out_ref["score"]) > -(2 ** 29))
+    assert al.sum() > 1000  # the fixture actually aligns
+    for kk in ("pos", "strand", "clip_start", "clip_end", "n_mis", "alen"):
+        np.testing.assert_array_equal(
+            np.asarray(out_sh[kk])[al], np.asarray(out_ref[kk])[al],
+            err_msg=kk)
