@@ -965,153 +965,135 @@ def fill_gaps(
 def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
                  instance_batch, scan_block, out_strings, placements, stats,
                  second_best=None, mesh=None):
-    """Scan + finalize for one shape bucket.
+    """Scan + winner re-run + finalize for one shape bucket.
 
-    Device work is dispatched in fixed-size padded batches of
-    ``instance_batch`` (gap_idx, gap_len) pairs against bucket-resident gap
-    arrays — each batch is one cached compile per FillConfig.
+    Tunnel-aware phasing: every D2H transfer pays a ~0.3 s fixed cost on a
+    tunnel-attached TPU, so each phase fetches ONE packed array:
+
+    1. SCAN — all candidate lengths dispatched in fixed-size batches whose
+       packed (IB, 8) replay scalars accumulate into a device buffer; one
+       fetch per wave, then the reference's sequential early-exit logic
+       replays on host (fillGap 6398-6478).
+    2. WINNER RE-RUN — the chosen and original lengths re-run with full
+       outputs (consensus/accept/pos/saved) as one packed matrix.
+    3. FINALIZE — re-placement against the best string; counts/flags packed.
+    4. host guard battery (unchanged).
     """
     import time as _time
+
+    from ..fill.em import (SCAN_COLS, fill_batch_full_packed, fill_batch_scan,
+                           finalize_batch_packed, finalize_packed_layout,
+                           full_packed_layout, scan_acc_update)
 
     _t0 = _time.time()
     gap_arrays = _build_gap_arrays(genome, [plans[g] for g in gids], cfg)
     stats["t_build"] = stats.get("t_build", 0) + round(_time.time() - _t0, 3)
     row_of = {gi: r for r, gi in enumerate(gids)}
 
-    RES_KEYS = ("likelihood", "valid", "consensus", "accept", "pos")
-    EXT_KEYS = ("discont", "ucoverf", "umaxleftf", "umaxrightf",
-                "region_perct", "saved_l", "saved_r")
-    acc = {gi: {k: [] for k in RES_KEYS + EXT_KEYS} for gi in gids}
-    evl = {gi: [] for gi in gids}
-    nxt = {gi: 0 for gi in gids}
-    done = {gi: False for gi in gids}
-    replayed = {}
-
     if mesh is not None:
-        # gap arrays + model replicated; the instance axis shards over the
-        # mesh's ``reads`` axis (gaps are embarrassingly parallel — the TPU
-        # equivalent of FillGaps' share-nothing worker processes).
         import jax as _jax
         from jax.sharding import NamedSharding, PartitionSpec as _P
 
         _shd = NamedSharding(mesh, _P("reads"))
-        gap_arrays = _jax.device_put(
-            gap_arrays, NamedSharding(mesh, _P()))
+        gap_arrays = _jax.device_put(gap_arrays, NamedSharding(mesh, _P()))
         marr = _jax.device_put(marr, NamedSharding(mesh, _P()))
         put_i = lambda x: None if x is None else _jax.device_put(x, _shd)
     else:
         put_i = lambda x: x
-    run_fill = lambda gi_, gl_: fill_batch_gathered(
+    run_scan = lambda gi_, gl_: fill_batch_scan(
         cfg, gap_arrays, put_i(gi_), put_i(gl_), marr,
         finalize_flag=large_flag)
-    # checkGapReads probes run with finalize extras ON regardless of gap
-    # size (run(i,fp,g,1,1) — hardcoded 1, Figbird.cpp:6097)
-    run_probe = lambda gi_, gl_: fill_batch_gathered(
+    # checkGapReads probes run with finalize extras ON but no large-gap
+    # break (run(i,fp,g,1,1) — Figbird.cpp:6097)
+    run_probe = lambda gi_, gl_: fill_batch_scan(
         cfg, gap_arrays, put_i(gi_), put_i(gl_), marr, finalize_flag=True,
         large_break=False)
-    run_fin = lambda gi_, gl_, bs, sv, svl, svr: (
-        finalize_batch_gathered(cfg, gap_arrays, put_i(gi_), put_i(gl_),
-                                marr, put_i(bs), put_i(sv), put_i(svl),
-                                put_i(svr)))
+    run_full = lambda gi_, gl_: fill_batch_full_packed(
+        cfg, gap_arrays, put_i(gi_), put_i(gl_), marr,
+        finalize_flag=large_flag)
+    run_fin = lambda gi_, gl_, bs, sv, svl, svr: finalize_batch_packed(
+        cfg, gap_arrays, put_i(gi_), put_i(gl_), marr, put_i(bs), put_i(sv),
+        put_i(svl), put_i(svr))
 
-    def _dispatch(rows, lens, owners, collect=True):
+    nb = instance_batch
+    CAP = max(32 * nb, nb)
+
+    def _pad_chunk(r, le):
+        pad = nb - len(r)
+        gi_ = jnp.asarray(np.asarray(list(r) + [0] * pad, np.int32))
+        gl_ = jnp.asarray(np.asarray(list(le) + [1] * pad, np.int32))
+        return gi_, gl_
+
+    def scan_wave(rows, lens, probe=False):
+        """Dispatch a wave of scan instances; one list fetch (the packed
+        (IB, 8) outputs are tiny, and a donated device accumulator measured
+        3x SLOWER on the tunnel backend — donation serialises dispatches).
+        Returns (n, 8)."""
         _td = _time.time()
-        dev_outs = []
-        nb = instance_batch
-        for i0 in range(0, len(rows), nb):
-            r = rows[i0 : i0 + nb]
-            le = lens[i0 : i0 + nb]
-            pad = nb - len(r)
-            gi_ = jnp.asarray(np.asarray(r + [0] * pad, np.int32))
-            gl_ = jnp.asarray(np.asarray(le + [1] * pad, np.int32))
-            out = run_fill(gi_, gl_)
-            # fetch only the replay/finalize keys: the full result dict
-            # carries the (W,5) count tensors (~14 KB/instance) that the
-            # scan phase never reads — D2H of those dominates fill wall
-            # time on tunnel-attached TPUs
-            dev_outs.append({k: out[k] for k in RES_KEYS + EXT_KEYS
-                             if k in out})
+        fn = run_probe if probe else run_scan
+        out_parts = []
+        for c0 in range(0, len(rows), nb):
+            gi_, gl_ = _pad_chunk(rows[c0 : c0 + nb], lens[c0 : c0 + nb])
+            out_parts.append(fn(gi_, gl_))
         stats["t_scan_disp"] = stats.get("t_scan_disp", 0) + round(
             _time.time() - _td, 3)
         _td = _time.time()
-        host_outs = jax.device_get(dev_outs)
+        host = np.concatenate([np.asarray(b) for b in
+                               jax.device_get(out_parts)])
         stats["t_scan_get"] = stats.get("t_scan_get", 0) + round(
             _time.time() - _td, 3)
-        at = 0
-        for out in host_outs:
-            m = min(instance_batch, len(rows) - at)
-            for ci in range(m):
-                gi = owners[at + ci]
-                evl[gi].append(lens[at + ci])
-                for k in RES_KEYS + EXT_KEYS:
-                    if k in out:
-                        acc[gi][k].append(out[k][ci])
-            at += m
         stats["scan_instances"] += len(rows)
-
-    def _replay_gap(gi):
-        plan = plans[gi]
-        a = acc[gi]
-        prefix = len(a["likelihood"])
-        lik = np.asarray(a["likelihood"])
-        valid = np.asarray(a["valid"])
-        gext = None
-        if not partial_mode:
-            edge = (np.asarray(a["ucoverf"]) | np.asarray(a["umaxleftf"])
-                    | np.asarray(a["umaxrightf"]))
-            gext = {"edge": edge, "discont": np.asarray(a["discont"])}
-        best_j, n_eval, varied, exited, second_j = _replay_scan(
-            plan.lengths[:prefix], lik, valid, plan.gap.length, partial_mode,
-            gext)
-        return best_j, n_eval, varied, exited, prefix, second_j
+        return host[: len(rows)]
 
     # ---- read-count probe for small unmapped gaps (checkGapReads) --------
     if not partial_mode:
         probe_rows, probe_lens, probe_owner = [], [], []
-        probe_span = {}
         for gi in gids:
             plan = plans[gi]
             if plan.large_gap or plan.gap.length > GAPTHRESH or plan.side_flag:
                 continue
             pls = _probe_lengths(plan.gap.length)
-            probe_span[gi] = (len(probe_rows), len(pls),
-                              plan.gap.length < 30)
             probe_rows += [row_of[gi]] * len(pls)
             probe_lens += pls
             probe_owner += [gi] * len(pls)
         if probe_rows:
-            probe_acc = {gi: [] for gi in probe_span}
-            nb = instance_batch
-            dev_outs = []
-            for i0 in range(0, len(probe_rows), nb):
-                r = probe_rows[i0 : i0 + nb]
-                le = probe_lens[i0 : i0 + nb]
-                pad = nb - len(r)
-                gi_ = jnp.asarray(np.asarray(r + [0] * pad, np.int32))
-                gl_ = jnp.asarray(np.asarray(le + [1] * pad, np.int32))
-                dev_outs.append({"valid": run_probe(gi_, gl_)["valid"]})
-            at = 0
-            for out in jax.device_get(dev_outs):
-                m = min(nb, len(probe_rows) - at)
-                for ci in range(m):
-                    probe_acc[probe_owner[at + ci]].append(
-                        int(out["valid"][ci]))
-                at += m
-            stats["scan_instances"] += len(probe_rows)
-            for gi, (_, np_, strict_gt) in probe_span.items():
-                counts = probe_acc[gi]
+            hostp = scan_wave(probe_rows, probe_lens, probe=True)
+            probe_acc: dict[int, list] = {}
+            for t, gi in enumerate(probe_owner):
+                probe_acc.setdefault(gi, []).append(int(hostp[t, 1]))
+            for gi, counts in probe_acc.items():
+                strict_gt = plans[gi].gap.length < 30
                 logger.info("probe gap %d lens %s used %s",
                             gi, _probe_lengths(plans[gi].gap.length), counts)
                 thresh = 3
                 enough = any((c > thresh) if strict_gt else (c >= thresh)
                              for c in counts)
                 if not enough:
-                    # less_read_flag==1 -> range=0; finalize at the original
-                    # length with zero saved-flags (no reads accepted)
+                    # less_read_flag==1 -> finalize at the original length
+                    # with zero saved-flags (no reads accepted)
                     plans[gi].lengths = [plans[gi].gap.length]
                     plans[gi].less_read = True
 
-    # ---- block-lazy length scan ------------------------------------------
+    # ---- block-lazy length scan (packed scalars only) --------------------
+    acc = {gi: [] for gi in gids}   # rows of the packed scan matrix
+    evl = {gi: [] for gi in gids}
+    nxt = {gi: 0 for gi in gids}
+    done = {gi: False for gi in gids}
+    replayed = {}
+
+    def _replay_gap(gi):
+        plan = plans[gi]
+        a = np.asarray(acc[gi])
+        prefix = len(a)
+        lik = a[:, 0]
+        valid = a[:, 1].astype(np.int64)
+        gext = None
+        if not partial_mode:
+            edge = (a[:, 3] != 0) | (a[:, 4] != 0) | (a[:, 5] != 0)
+            gext = {"edge": edge, "discont": a[:, 2] != 0}
+        return _replay_scan(plan.lengths[:prefix], lik, valid,
+                            plan.gap.length, partial_mode, gext) + (prefix,)
+
     while True:
         rows, lens, owners = [], [], []
         for gi in gids:
@@ -1125,21 +1107,23 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
             nxt[gi] += len(block)
         if not rows:
             break
-        _dispatch(rows, lens, owners)
+        host = scan_wave(rows, lens)
+        for t, gi in enumerate(owners):
+            acc[gi].append(host[t])
+            evl[gi].append(lens[t])
         for gi in dict.fromkeys(owners):
-            best_j, n_eval, varied, exited, prefix, second_j = _replay_gap(gi)
+            best_j, n_eval, varied, exited, second_j, prefix = _replay_gap(gi)
             if exited or nxt[gi] >= len(plans[gi].lengths):
                 done[gi] = True
                 replayed[gi] = (best_j, n_eval, varied, second_j)
 
     # the original length is needed whenever a guard falls back to it
-    # (fillGap re-runs it when the scan stopped short, 6449-6477)
     extra_rows, extra_lens, extra_owner = [], [], []
     orig_eval_j = {}
     for gi in gids:
         plan = plans[gi]
         oj = plan.lengths.index(plan.gap.length)
-        if oj < len(acc[gi]["likelihood"]):
+        if oj < len(acc[gi]):
             orig_eval_j[gi] = oj
         else:
             orig_eval_j[gi] = None
@@ -1147,21 +1131,19 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
             extra_lens.append(plan.gap.length)
             extra_owner.append(gi)
     if extra_rows:
-        _dispatch(extra_rows, extra_lens, extra_owner)
-        for gi in extra_owner:
-            orig_eval_j[gi] = len(acc[gi]["likelihood"]) - 1
+        host = scan_wave(extra_rows, extra_lens)
+        for t, gi in enumerate(extra_owner):
+            acc[gi].append(host[t])
+            evl[gi].append(extra_lens[t])
+            orig_eval_j[gi] = len(acc[gi]) - 1
 
-    # ---- per-gap decision + finalize ------------------------------------
-    fin_rows, fin_lens = [], []
-    fin_best, fin_saved, fin_saved_lr, fin_meta = [], [], [], []
+    # ---- per-gap decision ------------------------------------------------
+    chosen = {}
     for gi in gids:
         plan = plans[gi]
-        res = {k: np.asarray(acc[gi][k]) for k in RES_KEYS}
-        ext = {k: np.asarray(acc[gi][k]) for k in EXT_KEYS if acc[gi][k]}
-        sel = np.arange(len(res["likelihood"]))
-        valid = res["valid"]
+        a = np.asarray(acc[gi])
+        valid = a[:, 1].astype(np.int64)
         best_j, n_eval, varied, second_j = replayed[gi]
-
         orig_j = orig_eval_j[gi]
         if not partial_mode:
             if not varied and not plan.side_flag:
@@ -1169,99 +1151,147 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
         else:
             if valid[best_j] == 0:
                 best_j = orig_j
+        chosen[gi] = (best_j, orig_j, second_j)
 
-        best_len = evl[gi][best_j]
-        bs = res["consensus"][sel[best_j]][:cfg.max_gap_len].copy()
+    # ---- winner + original re-run (full packed outputs) ------------------
+    lay = full_packed_layout(cfg)
+    rr_rows, rr_lens, rr_key = [], [], []
+    for gi in gids:
+        best_j, orig_j, second_j = chosen[gi]
+        need = {("best", evl[gi][best_j]), ("orig", evl[gi][orig_j])}
         if second_best is not None and 0 <= second_j < len(evl[gi]):
-            second_best[gi] = (
-                evl[gi][second_j],
-                res["consensus"][sel[second_j]][:cfg.max_gap_len].copy())
+            need.add(("second", evl[gi][second_j]))
+        for tag, ln in sorted(need):
+            rr_rows.append(row_of[gi])
+            rr_lens.append(ln)
+            rr_key.append((gi, tag, ln))
+    rr_dev = []
+    _td = _time.time()
+    for c0 in range(0, len(rr_rows), nb):
+        gi_, gl_ = _pad_chunk(rr_rows[c0 : c0 + nb], rr_lens[c0 : c0 + nb])
+        rr_dev.append(run_full(gi_, gl_))
+    rr_host = np.concatenate([np.asarray(x) for x in jax.device_get(rr_dev)]
+                             )[: len(rr_rows)] if rr_dev else np.zeros((0, 1))
+    stats["t_rerun"] = stats.get("t_rerun", 0) + round(_time.time() - _td, 3)
+    rr = {}
+    for t, (gi, tag, ln) in enumerate(rr_key):
+        row = rr_host[t]
+
+        def col(name):
+            s, e = lay[name]
+            return row[s:e]
+
+        rr[(gi, tag)] = dict(
+            consensus=col("consensus").astype(np.int8),
+            accept=col("accept") > 0.5,
+            pos=col("pos").astype(np.int32),
+            saved_l=int(col("saved_l")[0]), saved_r=int(col("saved_r")[0]),
+            region_perct=float(col("region_perct")[0]), length=ln)
+    for gi in gids:
+        best_j, orig_j, second_j = chosen[gi]
+        if second_best is not None and (gi, "second") in rr:
+            sb = rr[(gi, "second")]
+            second_best[gi] = (sb["length"], sb["consensus"].copy())
+
+    # ---- finalize (packed) ----------------------------------------------
+    flay = finalize_packed_layout(cfg)
+    fin_rows, fin_lens, fin_best, fin_sv, fin_svl, fin_svr, fin_gis = (
+        [], [], [], [], [], [], [])
+    for gi in gids:
+        plan = plans[gi]
+        b = rr[(gi, "best")]
+        fin_gis.append(gi)
         fin_rows.append(row_of[gi])
-        fin_lens.append(best_len)
-        fin_best.append(bs)
+        fin_lens.append(b["length"])
+        fin_best.append(b["consensus"][: cfg.max_gap_len])
         if not partial_mode and (plan.less_read or plan.side_flag):
             # saved_reads never set (Figbird.cpp:1709 vs 6369) -> no accepts
-            fin_saved.append(np.zeros_like(res["accept"][sel[best_j]]))
+            fin_sv.append(np.zeros_like(b["accept"], np.int8))
         else:
-            fin_saved.append(res["accept"][sel[best_j]])
-        if partial_mode:
-            fin_saved_lr.append((ext["saved_l"][sel[best_j]],
-                                 ext["saved_r"][sel[best_j]]))
-        fin_meta.append((gi, best_j, orig_j, sel, res,
-                         ext.get("region_perct", np.zeros(1))[sel[best_j]]
-                         if not partial_mode else 0.0))
-
+            fin_sv.append(b["accept"].astype(np.int8))
+        fin_svl.append(b["saved_l"])
+        fin_svr.append(b["saved_r"])
     _tf = _time.time()
-    fin_outs = []
-    nb = instance_batch
-    for i0 in range(0, len(fin_rows), nb):
-        sl = slice(i0, i0 + nb)
+    fin_dev = []
+    for c0 in range(0, len(fin_rows), nb):
+        sl = slice(c0, c0 + nb)
         m = len(fin_rows[sl])
         pad = nb - m
-        gi_ = jnp.asarray(np.asarray(fin_rows[sl] + [0] * pad, np.int32))
-        gl_ = jnp.asarray(np.asarray(fin_lens[sl] + [1] * pad, np.int32))
+        gi_, gl_ = _pad_chunk(fin_rows[sl], fin_lens[sl])
         best = np.stack(fin_best[sl])
         if pad:
             best = np.concatenate([best, np.full((pad,) + best.shape[1:], 4,
                                                  best.dtype)])
-        best = jnp.asarray(best)
-        if partial_mode:
-            svl = np.asarray([a for a, _ in fin_saved_lr[sl]])
-            svr = np.asarray([b for _, b in fin_saved_lr[sl]])
-            if pad:
-                svl = np.concatenate([svl, np.full(pad, -1, svl.dtype)])
-                svr = np.concatenate([svr, np.full(pad, -1, svr.dtype)])
-            sv = jnp.zeros((nb, cfg.P), jnp.int8)
-            fin_outs.append(run_fin(gi_, gl_, best, sv, jnp.asarray(svl),
-                                    jnp.asarray(svr)))
-        else:
-            sv = np.stack(fin_saved[sl]).astype(np.int8)
-            if pad:
-                sv = np.concatenate([sv, np.zeros((pad, sv.shape[1]),
-                                                  np.int8)])
-            fin_outs.append(run_fin(gi_, gl_, best, jnp.asarray(sv),
-                                    None, None))
-    fin_outs = jax.device_get(fin_outs)
+        sv = np.stack(fin_sv[sl])
+        if pad:
+            sv = np.concatenate([sv, np.zeros((pad,) + sv.shape[1:],
+                                              np.int8)])
+        svl = np.asarray(fin_svl[sl] + [-1] * pad, np.int32)
+        svr = np.asarray(fin_svr[sl] + [-1] * pad, np.int32)
+        fin_dev.append(run_fin(gi_, gl_, jnp.asarray(best), jnp.asarray(sv),
+                               jnp.asarray(svl), jnp.asarray(svr)))
+    fin_host = np.concatenate([np.asarray(x) for x in jax.device_get(fin_dev)]
+                              )[: len(fin_rows)]
     stats["t_finalize"] = stats.get("t_finalize", 0) + round(
         _time.time() - _tf, 3)
-    _tg = _time.time()
 
-    for i0 in range(0, len(fin_rows), nb):
-        fout = fin_outs[i0 // nb]
-        m = len(fin_rows[i0 : i0 + nb])
-        for ci in range(m):
-            gi, best_j, orig_j, sel, gres, rpm = fin_meta[i0 + ci]
-            plan = plans[gi]
-            best_len = fin_lens[i0 + ci]
-            if partial_mode:
-                s = _finish_partial(plan, best_len, cfg, fout, ci, gres, sel,
-                                    orig_j)
-            else:
-                s = _finish_unmapped(plan, best_len, cfg, fout, ci, gres, sel,
-                                     orig_j, float(rpm))
-            out_strings[gi] = s
-            stats["filled"] += 1
-            facc = fout["accept"][ci]
-            pp = fout["pos"][ci]
-            seqs = (plan.bundle.p_seq if partial_mode else plan.bundle.u_seq)
-            placements[gi] = [(int(k), int(pp[k]), seqs[k])
-                              for k in range(len(seqs)) if facc[k]]
+    # ---- host guard battery ---------------------------------------------
+    _tg = _time.time()
+    maxg5 = cfg.max_gap_len * 5
+    for t, gi in enumerate(fin_gis):
+        plan = plans[gi]
+        row = fin_host[t]
+
+        def fcol(name):
+            s, e = flay[name]
+            return row[s:e]
+
+        fin = dict(
+            counts=fcol("counts").reshape(cfg.max_gap_len, 5).copy(),
+            accept=fcol("accept") > 0.5,
+            pos=fcol("pos").astype(np.int32),
+            used=int(fcol("used")[0]))
+        if partial_mode:
+            fin["qual"] = fcol("qual").reshape(cfg.max_gap_len, 5)
+        else:
+            fin["left_right_check"] = fcol("left_right_check") > 0.5
+            fin["umax_left"] = int(fcol("umax_left")[0])
+            fin["umax_right"] = int(fcol("umax_right")[0])
+            fin["left_start_zero"] = bool(fcol("left_start_zero")[0])
+            fin["right_fin_glen"] = bool(fcol("right_fin_glen")[0])
+        o = rr[(gi, "orig")]
+        best_len = fin_lens[t]
+        if partial_mode:
+            s = _finish_partial(plan, best_len, cfg, fin,
+                                o["accept"], o["pos"])
+        else:
+            s = _finish_unmapped(plan, best_len, cfg, fin,
+                                 o["accept"], o["pos"],
+                                 rr[(gi, "best")]["region_perct"])
+        out_strings[gi] = s
+        stats["filled"] += 1
+        seqs = (plan.bundle.p_seq if partial_mode else plan.bundle.u_seq)
+        facc = fin["accept"]
+        pp = fin["pos"]
+        placements[gi] = [(int(k), int(pp[k]), seqs[k])
+                          for k in range(len(seqs)) if facc[k]]
     stats["t_guard"] = stats.get("t_guard", 0) + round(_time.time() - _tg, 3)
 
 
-def _finish_unmapped(plan, best_len, cfg, fout, ci, res, sel, orig_j,
+
+def _finish_unmapped(plan, best_len, cfg, fin, orig_accept, orig_pos,
                      region_perct):
     """finalize guard battery, unmapped (5415-5507 + 5619-5641)."""
     g = plan.gap
-    counts = fout["counts"][ci][cfg.WL : cfg.WL + cfg.max_gap_len].copy()
-    accept = fout["accept"][ci]
-    pos = fout["pos"][ci]
+    counts = fin["counts"].copy()
+    accept = fin["accept"]
+    pos = fin["pos"]
     lens = np.array([len(s) for s in plan.bundle.u_seq]
                     + [0] * (accept.shape[0] - plan.bundle.n_unmapped))
-    used = int(fout["used"][ci])
-    lr = fout["left_right_check"][ci]
-    umax_l, umax_r = int(fout["umax_left"][ci]), int(fout["umax_right"][ci])
-    lsz, rfg = bool(fout["left_start_zero"][ci]), bool(fout["right_fin_glen"][ci])
+    used = int(fin["used"])
+    lr = fin["left_right_check"]
+    umax_l, umax_r = int(fin["umax_left"]), int(fin["umax_right"])
+    lsz, rfg = bool(fin["left_start_zero"]), bool(fin["right_fin_glen"])
     thresh = 4
     nflag = [False, False]
     lflag = [False, False]
@@ -1295,8 +1325,6 @@ def _finish_unmapped(plan, best_len, cfg, fout, ci, res, sel, orig_j,
         gap_len = g.length
         counts = np.zeros((cfg.max_gap_len, 5), np.float32)
         # recompute2 from original-length placements (5495-5506)
-        orig_accept = res["accept"][sel[orig_j]]
-        orig_pos = res["pos"][sel[orig_j]]
         if ((not lr[0] and lr[1] and umax_r >= thresh)
                 or (lr[0] and not lr[1] and umax_l >= thresh)):
             recompute = True
@@ -1314,8 +1342,8 @@ def _finish_unmapped(plan, best_len, cfg, fout, ci, res, sel, orig_j,
             cons[0] = N
         if (nflag[1] or lflag[1]) and gap_len > 0:
             cons[gap_len - 1] = N
-        src_accept = res["accept"][sel[orig_j]] if recompute else accept
-        src_pos = res["pos"][sel[orig_j]] if recompute else pos
+        src_accept = orig_accept if recompute else accept
+        src_pos = orig_pos if recompute else pos
         clear = _recheck_sequence(cons, src_pos[: len(lens)], lens,
                                   src_accept[: len(lens)], g.length,
                                   region_perct)
@@ -1324,14 +1352,14 @@ def _finish_unmapped(plan, best_len, cfg, fout, ci, res, sel, orig_j,
     return cons[:gap_len]
 
 
-def _finish_partial(plan, best_len, cfg, fout, ci, res, sel, orig_j):
+def _finish_partial(plan, best_len, cfg, fin, orig_accept, orig_pos):
     """finalize guard battery, partial (5512-5609)."""
     g = plan.gap
-    counts = fout["counts"][ci][cfg.WL : cfg.WL + cfg.max_gap_len].copy()
-    qual = fout["qual"][ci][cfg.WL : cfg.WL + cfg.max_gap_len]
-    accept = fout["accept"][ci]
-    pos = fout["pos"][ci]
-    used = int(fout["used"][ci])
+    counts = fin["counts"].copy()
+    qual = fin["qual"]
+    accept = fin["accept"]
+    pos = fin["pos"]
+    used = int(fin["used"])
     gap_len = best_len
 
     ret0, ret1 = _detect_overlap_host(plan, accept, pos, gap_len)
@@ -1354,8 +1382,6 @@ def _finish_partial(plan, best_len, cfg, fout, ci, res, sel, orig_j):
         if used < PARTIAL_THRESHOLD or case == 4:
             u_flag = 0
         else:  # case 2: recompute1 from original-length placements (5566-5582)
-            orig_accept = res["accept"][sel[orig_j]]
-            orig_pos = res["pos"][sel[orig_j]]
             for k in range(plan.bundle.n_partial):
                 if orig_accept[k]:
                     p = int(orig_pos[k])

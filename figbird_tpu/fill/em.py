@@ -221,38 +221,46 @@ def partial_stack_probs(pr, p_clip, p_match, p_len, p_valid, max_gap_len, gap_le
     """update_partial_prob (1913-2088): stack partial reads at clip points.
 
     Returns (counts4 (maxG,4) with +1 pseudo, left_max, right_min).
+
+    Per-read clip offsets are CONTIGUOUS slices, so the (P, maxG) minor-axis
+    ``take_along_axis`` (~60x slower than row ops on TPU — it alone cost 95%%
+    of an EM dispatch) is replaced by the static shift-select trick; gap
+    positions beyond the read length never receive counts, so only the
+    first L columns are computed and the rest padded.
     """
+    from ..align.core import shift_left_batch
+
     P, L = pr.shape
-    t = jnp.arange(max_gap_len)[None, :]  # gap position
-    oh4 = jnp.asarray(ONEHOT4)
+    G1 = min(L, max_gap_len)
+    t = jnp.arange(G1)[None, :]  # gap position (reads reach < L chars in)
 
     def _counts4(mask, ch):
-        """sum_p mask & (ch == c | ch == N) per gap position -> (maxG, 4).
-
-        A gathered one-hot (P, maxG, 4) would tile-pad its 4-minor dim to
-        128 lanes on TPU (32x HBM inflation — OOM at production instance
-        batches); four masked reductions keep the minor axis at maxG.
-        """
+        # four masked reductions; read-N spreads over ACGT (ONEHOT4[4]=1)
         return jnp.stack(
             [jnp.sum(jnp.where(mask & ((ch == c) | (ch == 4)), 1.0, 0.0),
                      axis=0) for c in range(4)], axis=1)
 
+    def _padG(x):  # (G1, 4) -> (maxG, 4)
+        if G1 == max_gap_len:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((max_gap_len - G1, 4), x.dtype)], axis=0)
+
     left = (p_match == 1) | (p_match == 4)
     # match 1/4: read[clip+1+t] -> gap pos t, t < stop1 = min(len-clip-1, gap_len)
     stop1 = jnp.minimum(p_len - p_clip - 1, gap_len)
-    idx_l = jnp.clip(p_clip[:, None] + 1 + t, 0, L - 1)
-    ch_l = jnp.take_along_axis(pr, idx_l, axis=1)
+    ch_l = shift_left_batch(pr, jnp.clip(p_clip + 1, 0, L), jnp.int8(4))[:, :G1]
     m_l = (t < stop1[:, None]) & left[:, None] & p_valid[:, None]
-    cnt_l = _counts4(m_l, ch_l)
+    cnt_l = _padG(_counts4(m_l, ch_l))
 
     # match 2/3: read[clip-1-u] -> gap pos gap_len-1-u, u < chars = min(clip, gap_len)
     right = (p_match == 2) | (p_match == 3)
-    u = t  # reuse iota
     chars = jnp.minimum(p_clip, gap_len)
-    idx_r = jnp.clip(p_clip[:, None] - 1 - u, 0, L - 1)
-    ch_r = jnp.take_along_axis(pr, idx_r, axis=1)
-    m_r = (u < chars[:, None]) & right[:, None] & p_valid[:, None]
-    cnt_r_rev = _counts4(m_r, ch_r)
+    # reversed read shifted so column u holds read[clip-1-u]
+    ch_r = shift_left_batch(pr[:, ::-1], jnp.clip(L - p_clip, 0, L),
+                            jnp.int8(4))[:, :G1]
+    m_r = (t < chars[:, None]) & right[:, None] & p_valid[:, None]
+    cnt_r_rev = _padG(_counts4(m_r, ch_r))
     # reverse into gap coordinates: u -> gap_len-1-u
     gpos = gap_len - 1 - jnp.arange(max_gap_len)
     cnt_r = jnp.zeros_like(cnt_r_rev).at[jnp.clip(gpos, 0, max_gap_len - 1)].add(
@@ -390,16 +398,19 @@ def _detect_overlap_partial(cfg, inst, accept, pos_gap, bonus_cap=None):
     ov = (p1 + l1 - 1) - p2 + 1 - diff_gap  # (cap,cap)
     pair_ok = lval[:, None] & rval[None, :] & (li[:, None] != ri[None, :]) & (ov >= 5)
 
-    # compare read1 suffix vs read2 prefix over the overlap region (2687-2701)
+    # compare read1 suffix vs read2 prefix over the overlap region
+    # (2687-2701).  The suffix start is a per-(i,j) CONTIGUOUS offset, so the
+    # (cap,cap,L) element gather is a flattened static shift-select instead
+    # (minor-axis gathers are ~60x slower on TPU).
+    from ..align.core import shift_left_batch
+
     cap = li.shape[0]
     t = jnp.arange(L)[None, None, :]
-    len1 = p_len[li][:, None, None]
-    idx1 = len1 - ov[:, :, None] - diff_gap[:, :, None] + t
-    idx1c = jnp.clip(idx1, 0, L - 1)
-    r1 = pr[li]  # (cap, L)
-    r2 = pr[ri]
-    c1 = r1[jnp.arange(cap)[:, None, None], idx1c]  # (cap,cap,L)
-    c2 = r2[None, :, :]  # broadcasts over left index
+    len1 = p_len[li][:, None]
+    off1 = jnp.clip(len1 - ov - diff_gap, 0, L).reshape(-1)  # (cap*cap,)
+    r1rep = jnp.repeat(pr[li], cap, axis=0)                  # (cap*cap, L)
+    c1 = shift_left_batch(r1rep, off1, jnp.int8(-1)).reshape(cap, cap, L)
+    c2 = pr[ri][None, :, :]  # broadcasts over left index
     inwin = t < ov[:, :, None]
     mism = jnp.sum(inwin & (c1 != c2), axis=2)
     good = pair_ok & (mism <= 0.1 * jnp.maximum(ov, 1))
@@ -543,9 +554,13 @@ def _update_reanchor(cfg: FillConfig, inst, counts, gc, accept, has_place,
         return has, seg_len - jstar
 
     has_l, match_l = first_match(TL, VL, rchar)
-    # right side matches reversed read against reversed segment (4250-4262)
-    rev_idx = jnp.clip(rl[:, None] - 1 - kk[None, :], 0, L - 1)
-    revread = jnp.take_along_axis(ur, rev_idx, axis=1)[:, :MS]
+    # right side matches reversed read against reversed segment (4250-4262);
+    # per-row reversal realigned with the static shift trick (a minor-axis
+    # take_along_axis is ~60x slower on TPU)
+    from ..align.core import shift_left_batch
+
+    revread = shift_left_batch(ur[:, ::-1],
+                               jnp.clip(L - rl, 0, L), jnp.int8(4))[:, :MS]
     has_r, match_r = first_match(TRrev, TR_len, revread)
     has_l = has_l & elig & ok0 & any_q
     has_r = has_r & elig & ok1 & any_q
@@ -559,8 +574,8 @@ def _update_reanchor(cfg: FillConfig, inst, counts, gc, accept, has_place,
     pos_r = index1 + match_r[:, None] - 1 - ri
     val_r = has_r[:, None] & (pos_r < index1) & (pos_r >= 0) & (ri < rl[:, None])
     w_r = jnp.where(val_r, match_r[:, None], 0).astype(jnp.float32)
-    rev_all = jnp.take_along_axis(ur, jnp.clip(rl[:, None] - 1 - ri, 0, L - 1),
-                                  axis=1)
+    rev_all = shift_left_batch(ur[:, ::-1], jnp.clip(L - rl, 0, L),
+                               jnp.int8(4))
     # per-base scatter columns (an (R, L, 4) one-hot update would tile-pad
     # its 4-minor dim 32x on TPU); read-N spreads over ACGT (ONEHOT4[4]=1)
     idx_l = jnp.clip(pos_l, 0, mgl - 1).reshape(-1)
@@ -1058,3 +1073,130 @@ def finalize_batch(cfg: FillConfig, insts, model, best_strings, saved,
         return jax.vmap(fn)(insts, best_strings, saved_l, saved_r)
     fn = lambda inst, bs, sv: finalize_unmapped_instance(cfg, inst, model, bs, sv)
     return jax.vmap(fn)(insts, best_strings, saved)
+
+
+# ===========================================================================
+# packed entry points for tunnel-attached TPUs: every D2H transfer pays a
+# ~0.3 s fixed cost over the tunnel, so each phase must fetch ONE array.
+# The scan returns per-instance replay scalars packed (IB, 8) f32 and is
+# accumulated into a preallocated device buffer; the winner re-run and the
+# finalize pass return a single packed f32 matrix each.
+# ===========================================================================
+
+SCAN_COLS = 8  # lik, valid, discont, ucoverf, umaxleftf, umaxrightf,
+               # region_perct, pad
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "finalize_flag", "large_break"))
+def fill_batch_scan(cfg: FillConfig, gap_arrays, gap_idx, gap_len, model,
+                    finalize_flag: bool = True,
+                    large_break: bool | None = None):
+    """Scan instances -> packed (IB, SCAN_COLS) f32 replay scalars."""
+    out = fill_batch_gathered(cfg, gap_arrays, gap_idx, gap_len, model,
+                              finalize_flag=finalize_flag,
+                              large_break=large_break)
+    z = jnp.zeros_like(out["likelihood"], dtype=jnp.float32)
+    f = lambda kk: out[kk].astype(jnp.float32) if kk in out else z
+    cols = [out["likelihood"].astype(jnp.float32), f("valid"), f("discont"),
+            f("ucoverf"), f("umaxleftf"), f("umaxrightf"),
+            f("region_perct"), z]
+    return jnp.stack(cols, axis=1)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def scan_acc_update(buf, x, i0):
+    """Accumulate one packed scan batch into the wave buffer (in place)."""
+    return jax.lax.dynamic_update_slice(buf, x, (i0, jnp.int32(0)))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "finalize_flag", "large_break"))
+def fill_batch_full_packed(cfg: FillConfig, gap_arrays, gap_idx, gap_len,
+                           model, finalize_flag: bool = True,
+                           large_break: bool | None = None):
+    """Winner/original-length re-run -> one packed f32 matrix per instance:
+
+    [consensus (maxG), accept (NR), pos (NR), saved_l, saved_r,
+     region_perct] with NR = P (partial) or R (unmapped).
+    """
+    out = fill_batch_gathered(cfg, gap_arrays, gap_idx, gap_len, model,
+                              finalize_flag=finalize_flag,
+                              large_break=large_break)
+    ib = out["consensus"].shape[0]
+    z = jnp.zeros((ib,), jnp.float32)
+    g = lambda kk: (out[kk].astype(jnp.float32) if kk in out else z)
+    parts = [out["consensus"].astype(jnp.float32),
+             out["accept"].astype(jnp.float32),
+             out["pos"].astype(jnp.float32),
+             g("saved_l")[:, None] if "saved_l" in out else z[:, None],
+             g("saved_r")[:, None] if "saved_r" in out else z[:, None],
+             g("region_perct")[:, None]]
+    return jnp.concatenate(parts, axis=1)
+
+
+def full_packed_layout(cfg: FillConfig) -> dict:
+    """Column offsets of fill_batch_full_packed's output."""
+    nr = cfg.P if cfg.partial_mode else cfg.R
+    o = {}
+    at = 0
+    for name, width in (("consensus", cfg.max_gap_len), ("accept", nr),
+                        ("pos", nr), ("saved_l", 1), ("saved_r", 1),
+                        ("region_perct", 1)):
+        o[name] = (at, at + width)
+        at += width
+    o["_total"] = at
+    return o
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def finalize_batch_packed(cfg: FillConfig, gap_arrays, gap_idx, gap_len,
+                          model, best_strings, saved, saved_l, saved_r):
+    """Finalize pass -> one packed f32 matrix per instance:
+
+    [counts gap-zone (maxG*5), qual gap-zone (maxG*5, partial only, else 0s
+     omitted), accept (NR), pos (NR), scalars...]
+    """
+    if cfg.partial_mode:
+        out = finalize_batch_gathered(cfg, gap_arrays, gap_idx, gap_len,
+                                      model, best_strings, saved, saved_l,
+                                      saved_r)
+    else:
+        out = finalize_batch_gathered(cfg, gap_arrays, gap_idx, gap_len,
+                                      model, best_strings, saved)
+    ib = gap_idx.shape[0]
+    zone = slice(cfg.WL, cfg.WL + cfg.max_gap_len)
+    parts = [out["counts"][:, zone, :].reshape(ib, -1)]
+    if cfg.partial_mode:
+        parts.append(out["qual"][:, zone, :].reshape(ib, -1))
+    parts += [out["accept"].astype(jnp.float32),
+              out["pos"].astype(jnp.float32)]
+    f = lambda kk: out[kk].astype(jnp.float32)[:, None]
+    if cfg.partial_mode:
+        parts += [f("used")]
+    else:
+        parts += [out["left_right_check"].astype(jnp.float32),
+                  f("umax_left"), f("umax_right"), f("left_start_zero"),
+                  f("right_fin_glen"), f("used")]
+    return jnp.concatenate(parts, axis=1)
+
+
+def finalize_packed_layout(cfg: FillConfig) -> dict:
+    nr = cfg.P if cfg.partial_mode else cfg.R
+    o = {}
+    at = 0
+    fields = [("counts", cfg.max_gap_len * 5)]
+    if cfg.partial_mode:
+        fields.append(("qual", cfg.max_gap_len * 5))
+    fields += [("accept", nr), ("pos", nr)]
+    if cfg.partial_mode:
+        fields += [("used", 1)]
+    else:
+        fields += [("left_right_check", 2), ("umax_left", 1),
+                   ("umax_right", 1), ("left_start_zero", 1),
+                   ("right_fin_glen", 1), ("used", 1)]
+    for name, width in fields:
+        o[name] = (at, at + width)
+        at += width
+    o["_total"] = at
+    return o

@@ -348,19 +348,25 @@ class Pipeline:
         from dataclasses import replace as _replace
 
         r1, r2 = self.libs[lib_i]
+        t0 = time.time()
         idx = build_index(genome, k=15)
+        self.timer.add("index_build", time.time() - t0)
         params = e2e_params(self.align_params) if end_to_end \
             else self.align_params
         # model learning runs on device; skip the mismatch-mask D2H
         params = _replace(params, want_mism=False)
+        t0 = time.time()
         al = Aligner(idx, params, mesh=self.mesh,
                      **self.aligner_kwargs)
+        self.timer.add("aligner_init", time.time() - t0)
         t0 = time.time()
         a1, a2 = al.align_many([(r1.seq, r1.length), (r2.seq, r2.length)],
                                keep_stats=True)
         self._align_seconds += time.time() - t0
         self._aligned_reads += 2 * len(r1)
+        t0 = time.time()
         pt = build_pair_table(idx, a1, a2, r1.length, r2.length, max_insert)
+        self.timer.add("pair_table", time.time() - t0)
         return idx, a1, a2, pt, al
 
     # ------------------------------------------------------------------
