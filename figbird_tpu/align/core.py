@@ -33,6 +33,11 @@ import numpy as np
 from ..dtypes import COMPLEMENT, GAP_CODE
 from .index import KmerIndex
 
+import logging
+import time as _time
+
+logger = logging.getLogger("figbird_tpu.align")
+
 # plain numpy scalar: a module-level jnp constant would initialise the XLA
 # backend at import time, which breaks jax.distributed.initialize ordering
 NEG = np.int32(-(2**30))
@@ -320,6 +325,29 @@ def _align_one_strand(flat2d, flatlen, tables, reads, lengths,
     return best
 
 
+PACK_KEYS = ("score", "n_mis", "pos", "cand_i", "hit_overflow", "strand",
+             "second", "aligned", "unique", "alen", "clip_start", "clip_end")
+
+
+def _pack_out(out: dict) -> jnp.ndarray:
+    """Stack the per-read outputs into one (B, 12) int32 matrix — a D2H
+    array costs a large fixed latency on tunnel-attached TPUs, so fetching
+    one matrix instead of 12 arrays per batch wins big."""
+    return jnp.stack([out[k].astype(jnp.int32) for k in PACK_KEYS], axis=1)
+
+
+def unpack_out(packed: np.ndarray) -> dict:
+    out = {}
+    for i, k in enumerate(PACK_KEYS):
+        v = packed[:, i]
+        if k in ("hit_overflow", "aligned", "unique"):
+            v = v.astype(bool)
+        elif k == "strand":
+            v = v.astype(np.int8)
+        out[k] = v
+    return out
+
+
 def as_rows(flat: np.ndarray | jnp.ndarray, fill=None) -> np.ndarray:
     """Pad a flat array to (rows+2, 128) for fast row gathers / span reads."""
     flat = np.asarray(flat)
@@ -380,6 +408,7 @@ def align_batch_device(flat2d, flatlen, tables, reads,
         out["alen"] = lengths
         out["clip_start"] = jnp.zeros_like(lengths)
         out["clip_end"] = jnp.zeros_like(lengths)
+        out["packed"] = _pack_out(out)
         return out
     min_score = (params.min_score_const +
                  params.min_score_log * jnp.log(jnp.maximum(lengths, 2).astype(jnp.float32)))
@@ -388,6 +417,7 @@ def align_batch_device(flat2d, flatlen, tables, reads,
     out["alen"] = end - start + 1
     out["clip_start"] = start
     out["clip_end"] = jnp.maximum(lengths - 1 - end, 0)
+    out["packed"] = _pack_out(out)
     return out
 
 
@@ -470,6 +500,19 @@ class Aligner:
             self._tables = {}
             self._flat2d = jax.device_put(self._flat2d, self._rep)
             return
+        if index.sorted_codes is None:
+            # device-deferred table build (build_index(device_tables=True)):
+            # one genome upload + an on-device sort instead of host argsort
+            # and a 36 MB table H2D
+            from .index import build_device_tables
+
+            self._prefix_shift = 2 * (index.k - index.prefix_bases)
+            self._tables, _ = build_device_tables(index.flat, index.k,
+                                                  index.prefix_bases)
+            if self._shd is not None:
+                self._flat2d = jax.device_put(self._flat2d, self._rep)
+                self._tables = jax.device_put(self._tables, self._rep)
+            return
         if not use_buckets:
             # direct searchsorted tables — the same enumeration the genome-
             # sharded path uses (bit-equality baseline in tests)
@@ -509,7 +552,15 @@ class Aligner:
         devs, handle = self._dispatch_pass(seq, lengths, params)
         if keep:
             self._stats_handle = handle
-        return self._collect_pass(jax.device_get(devs), seq.shape)
+        return self._collect_pass(jax.device_get(self._fetch_view(devs)),
+                                  seq.shape)
+
+    @staticmethod
+    def _fetch_view(devs: list) -> list:
+        """Per-batch arrays to actually transfer: the packed matrix (plus
+        the mismatch mask when requested) instead of 12 scalar arrays."""
+        return [{kk: o[kk] for kk in ("packed", "mism_packed") if kk in o}
+                for o in devs]
 
     def _dispatch_pass(self, seq, lengths, params):
         """Queue all batches asynchronously; no sync.  Returns (device result
@@ -559,16 +610,15 @@ class Aligner:
 
     @staticmethod
     def _collect_pass(host: list, shape) -> dict[str, np.ndarray]:
-        """Assemble fetched per-batch dicts (one device_get per PHASE across
-        every pending job — each individual D2H pays the full host<->TPU
-        round trip, ~30 ms over a tunnel)."""
+        """Assemble fetched per-batch packed matrices into the output dict
+        (one device_get per PHASE; one matrix per batch)."""
         n, L = shape
         if not host:
             return {}
-        cat = {kk: np.concatenate([o[kk] for o in host])[:n] for kk in host[0]}
-        if "mism_packed" in cat:
-            cat["mism"] = np.unpackbits(
-                cat.pop("mism_packed"), axis=1, count=L).astype(bool)
+        cat = unpack_out(np.concatenate([o["packed"] for o in host])[:n])
+        if "mism_packed" in host[0]:
+            mp = np.concatenate([o["mism_packed"] for o in host])[:n]
+            cat["mism"] = np.unpackbits(mp, axis=1, count=L).astype(bool)
         return cat
 
     def align(self, seq: np.ndarray, lengths: np.ndarray,
@@ -592,14 +642,19 @@ class Aligner:
                       and self.cheap_params.hits_per_seed >= p.hits_per_seed))
         params0 = p if single else self.cheap_params
 
+        _t = _time.time()
         devs, handles = [], []
         for seq, lengths in jobs:
             d, h = self._dispatch_pass(seq, lengths, params0)
-            devs.append(d)
+            devs.append(self._fetch_view(d))
             handles.append(h)
+        _t1 = _time.time()
         hosts = jax.device_get(devs)  # one sync for the whole phase
+        _t2 = _time.time()
         outs = [self._collect_pass(h, j[0].shape)
                 for h, j in zip(hosts, jobs)]
+        logger.info("align pass1: disp %.2fs get %.2fs collect %.2fs",
+                    _t1 - _t, _t2 - _t1, _time.time() - _t2)
 
         if not single:
             # confident = unique UNCLIPPED full-length alignment with <=3
@@ -621,7 +676,8 @@ class Aligner:
                 rows = np.flatnonzero(~confident)
                 esc_rows.append(rows)
                 esc_devs.append(
-                    self._dispatch_pass(seq[rows], lengths[rows], p)[0]
+                    self._fetch_view(
+                        self._dispatch_pass(seq[rows], lengths[rows], p)[0])
                     if rows.size else [])
             esc_hosts = jax.device_get(esc_devs)
             for out, rows, h, (seq, lengths) in zip(outs, esc_rows, esc_hosts,
@@ -631,8 +687,12 @@ class Aligner:
                         h, (rows.size, seq.shape[1]))
                     for kk, v in full.items():
                         out[kk][rows] = v
+            logger.info("align pass2: %.2fs (%s rows)",
+                        _time.time() - _t2,
+                        [int(r.size) for r in esc_rows])
 
         if self.indel_tier:
+            _t3 = _time.time()
             pend = [self._banded_dispatch(seq, lengths, out)
                     for out, (seq, lengths) in zip(outs, jobs)]
             scores = jax.device_get([d for _, _, d in pend])
@@ -642,6 +702,9 @@ class Aligner:
                     self._banded_finish(
                         seq, lengths, out, rows, oriented,
                         np.concatenate([np.asarray(s) for s in sc])[: rows.size])
+            logger.info("align banded: %.2fs (%s rows)",
+                        _time.time() - _t3,
+                        [int(p[0].size) for p in pend])
 
         if keep_stats:
             for out, h in zip(outs, handles):

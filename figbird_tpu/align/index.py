@@ -43,8 +43,7 @@ class KmerIndex:
         mostly skip anyway.
         """
         m = max(len(self.sorted_codes), 1)
-        p = int(np.ceil(np.log(2.0 * m) / np.log(4.0)))
-        p = min(max(p, 6), 13, self.k)
+        p = _prefix_bases_for(m, self.k)
         nb = 4 ** p
         prefix = (self.sorted_codes >> (2 * (self.k - p))).astype(np.int64)
         counts = np.bincount(prefix, minlength=nb)
@@ -92,12 +91,25 @@ def _rolling_codes(seq: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     return codes, valid
 
 
-def build_index(genome: Genome, k: int = 15, pad: int = 256) -> KmerIndex:
+def _prefix_bases_for(m: int, k: int) -> int:
+    """Bucket prefix length for ~0.5 load factor (see build_buckets)."""
+    p = int(np.ceil(np.log(max(2.0 * m, 4.0)) / np.log(4.0)))
+    return min(max(p, 6), 13, k)
+
+
+def build_index(genome: Genome, k: int = 15, pad: int = 256,
+                device_tables: bool = False) -> KmerIndex:
     """Build the sorted k-mer table over all contigs.
 
     Windows containing N are excluded (the draft's gaps are N-runs, so gap
     interiors are never seed targets — seeds land on flanks, exactly the
     behaviour needed for gap-spanning partial reads).
+
+    ``device_tables=True`` defers the sort + bucket build to the device
+    (:func:`build_device_tables`, done lazily by the Aligner): only the flat
+    genome is uploaded, and the host pays no argsort.  Host ``sorted_codes``
+    stay None in that mode (the golden/SAM and genome-sharded paths need the
+    host arrays and use the default).
     """
     lens = genome.lengths
     offsets = np.zeros(len(lens), dtype=np.int64)
@@ -109,6 +121,18 @@ def build_index(genome: Genome, k: int = 15, pad: int = 256) -> KmerIndex:
         parts.append(np.full(pad, GAP_CODE, dtype=np.int8))
         cursor += len(c) + pad
     flat = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int8)
+
+    if device_tables:
+        # count valid windows (no N in k chars) for the bucket sizing only
+        good = (flat < 4).astype(np.int32)
+        cs = np.concatenate([[0], np.cumsum(good)])
+        n_valid = int(np.count_nonzero(
+            cs[k:] - cs[:-k] == k)) if len(flat) >= k else 0
+        idx = KmerIndex(
+            k=k, flat=flat, offsets=offsets, contig_lengths=lens,
+            sorted_codes=None, sorted_pos=None, pad=pad,
+            prefix_bases=_prefix_bases_for(n_valid, k))
+        return idx
 
     # native C++ fast path: rolling codes + sort over the padded flat array
     # (N padding between contigs invalidates boundary-spanning windows)
@@ -144,3 +168,69 @@ def build_index(genome: Genome, k: int = 15, pad: int = 256) -> KmerIndex:
         sorted_pos=pos[order],
         pad=pad,
     )
+
+
+def build_device_tables(flat: np.ndarray, k: int, prefix_bases: int):
+    """Build the sorted k-mer table + prefix buckets ON DEVICE.
+
+    Replaces the host argsort + 36 MB table H2D (~2 s per iteration at
+    E. coli scale) with one 4.7 MB genome upload and a device sort:
+
+      codes[i] via k shifted adds; N-windows get a sentinel (2^30 >= 4^15)
+      so a stable argsort pushes them to the tail with valid entries in the
+      same relative order as the host build; sorted_pos IS the argsort
+      permutation; bucket starts by scatter-add + cumsum.
+
+    Returns (tables dict of device arrays shaped like core's as_rows
+    layouts, n_valid) — hit enumeration is identical to the host path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = len(flat)
+    rows = (n + 127) // 128 + 2
+    flat_p = np.full(rows * 128, GAP_CODE, np.int8)
+    flat_p[:n] = flat
+    nb = 4 ** prefix_bases
+    shift = 2 * (k - prefix_bases)
+
+    @jax.jit
+    def build(fl):
+        x = jnp.minimum(fl, 3).astype(jnp.int32)
+        validN = (fl < 4).astype(jnp.int32)
+        m = fl.shape[0]
+        codes = jnp.zeros(m, jnp.int32)
+        ok = jnp.ones(m, jnp.int32)
+        for j in range(k):
+            sh = jnp.concatenate([x[j:], jnp.zeros(j, jnp.int32)])
+            codes = codes * 4 + sh
+            shv = jnp.concatenate([validN[j:], jnp.zeros(j, jnp.int32)])
+            ok = ok * shv
+        last = m - k  # windows starting beyond m-k run off the array
+        ok = ok * (jnp.arange(m) <= last)
+        SENT = jnp.int32(1 << 30)
+        keyed = jnp.where(ok > 0, codes, SENT)
+        order = jnp.argsort(keyed, stable=True).astype(jnp.int32)
+        scodes = keyed[order]
+        n_valid = jnp.sum(ok)
+        prefix = jnp.where(scodes < SENT, scodes >> shift, nb)
+        counts = jnp.zeros(nb + 1, jnp.int32).at[prefix].add(1)
+        starts = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts[:nb])])
+        return scodes, order, starts, n_valid
+
+    scodes, spos, starts, n_valid = build(jnp.asarray(flat_p))
+
+    def as_rows_dev(a, fill):
+        ln = a.shape[0]
+        r = (ln + 127) // 128 + 2
+        padn = r * 128 - ln
+        return jnp.concatenate(
+            [a, jnp.full(padn, fill, a.dtype)]).reshape(r, 128)
+
+    tables = dict(
+        starts2d=as_rows_dev(starts, 0),
+        codes2d=as_rows_dev(scodes, 0),
+        pos2d=as_rows_dev(spos, 0),
+    )
+    return tables, int(n_valid)

@@ -1167,8 +1167,14 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
             rr_key.append((gi, tag, ln))
     rr_dev = []
     _td = _time.time()
-    for c0 in range(0, len(rr_rows), nb):
-        gi_, gl_ = _pad_chunk(rr_rows[c0 : c0 + nb], rr_lens[c0 : c0 + nb])
+    # 2-3 instances per gap: pad to a small fixed batch
+    nbr = min(nb, 256)
+    for c0 in range(0, len(rr_rows), nbr):
+        r = list(rr_rows[c0 : c0 + nbr])
+        le = list(rr_lens[c0 : c0 + nbr])
+        pad = nbr - len(r)
+        gi_ = jnp.asarray(np.asarray(r + [0] * pad, np.int32))
+        gl_ = jnp.asarray(np.asarray(le + [1] * pad, np.int32))
         rr_dev.append(run_full(gi_, gl_))
     rr_host = np.concatenate([np.asarray(x) for x in jax.device_get(rr_dev)]
                              )[: len(rr_rows)] if rr_dev else np.zeros((0, 1))
@@ -1213,11 +1219,15 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
         fin_svr.append(b["saved_r"])
     _tf = _time.time()
     fin_dev = []
-    for c0 in range(0, len(fin_rows), nb):
-        sl = slice(c0, c0 + nb)
+    # finalize runs once per GAP: pad to a small fixed batch so the padded
+    # tail doesn't cost 10x the real work
+    nbf = min(nb, 64)
+    for c0 in range(0, len(fin_rows), nbf):
+        sl = slice(c0, c0 + nbf)
         m = len(fin_rows[sl])
-        pad = nb - m
-        gi_, gl_ = _pad_chunk(fin_rows[sl], fin_lens[sl])
+        pad = nbf - m
+        gi_ = jnp.asarray(np.asarray(list(fin_rows[sl]) + [0] * pad, np.int32))
+        gl_ = jnp.asarray(np.asarray(list(fin_lens[sl]) + [1] * pad, np.int32))
         best = np.stack(fin_best[sl])
         if pad:
             best = np.concatenate([best, np.full((pad,) + best.shape[1:], 4,

@@ -195,6 +195,9 @@ def make_genome_sharded_align(mesh: Mesh, k: int, params):
         res["second"] = jnp.max(masked, axis=0)
         res["hit_overflow"] = jnp.any(st["hit_overflow"], axis=0)
         res["unique"] = res["aligned"] & (res["score"] > res["second"])
+        from ..align.core import _pack_out
+
+        res["packed"] = _pack_out(res)
         # post-all-gather values are genome-replicated, but shard_map cannot
         # infer that statically — make it provable with an explicit psum of
         # the rank-0 copy
@@ -213,7 +216,7 @@ def make_genome_sharded_align(mesh: Mesh, k: int, params):
             lambda r, l: inner(flat2d, flatlen,
                                dict(sorted_codes=codes, sorted_pos=pos),
                                r, l, k, params, None), reads, lengths)
-        keys = set(probe) | {"second", "hit_overflow", "unique"}
+        keys = set(probe) | {"second", "hit_overflow", "unique", "packed"}
         out_specs = {kk: P("reads") for kk in keys}
         m = shard_map(local, mesh=mesh,
                       in_specs=(P(), P(), P("genome"), P("genome"),

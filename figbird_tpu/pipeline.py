@@ -349,7 +349,9 @@ class Pipeline:
 
         r1, r2 = self.libs[lib_i]
         t0 = time.time()
-        idx = build_index(genome, k=15)
+        gshard = (self.mesh is not None
+                  and self.mesh.shape.get("genome", 1) > 1)
+        idx = build_index(genome, k=15, device_tables=not gshard)
         self.timer.add("index_build", time.time() - t0)
         params = e2e_params(self.align_params) if end_to_end \
             else self.align_params
