@@ -723,18 +723,20 @@ class Aligner:
 
         bs = self.batch_size
         outs = []
+        n_args = len(per_read_args)
         for bi, (dev_chunk, dev_lens) in enumerate(handle):
             i0 = bi * bs
-            args_d = []
-            for a in per_read_args:
+            # one H2D per batch: the small per-read vectors upload as a
+            # single int32 matrix (each transfer pays fixed tunnel latency)
+            packed = np.zeros((bs, n_args), np.int32)
+            for j, a in enumerate(per_read_args):
                 sl = a[i0 : i0 + bs]
-                if len(sl) < bs:
-                    pad = np.zeros(bs - len(sl), dtype=sl.dtype)
-                    sl = np.concatenate([sl, pad])
-                d = jnp.asarray(sl)
-                if self._shd is not None:
-                    d = _jax.device_put(d, self._shd)
-                args_d.append(d)
+                packed[: len(sl), j] = sl
+            d = jnp.asarray(packed)
+            if self._shd is not None:
+                d = _jax.device_put(d, self._shd)
+            args_d = [d[:, j].astype(per_read_args[j].dtype)
+                      for j in range(n_args)]
             outs.append(fn(self._flat2d, dev_chunk, dev_lens, *args_d, *extra))
         return _jax.device_get(outs)
 
@@ -745,16 +747,15 @@ class Aligner:
         arrays.  ``pos``/``strand`` are the FINAL alignment outputs (post
         two-tier escalation); ``mask`` must exclude indel-tier rows.
         """
-        from ..model.device_stats import stats_batch
+        from ..model.device_stats import stats_batch, unpack_stats
 
         host = self._stats_dispatch(
             stats_batch, handle,
             (pos.astype(np.int32), strand.astype(np.int8),
              mask.astype(bool)))
-        out = host[0]
-        for h in host[1:]:
-            out = {kk: out[kk] + h[kk] for kk in out}
-        return out
+        L = int(handle[0][0].shape[-1])
+        total = np.sum([np.asarray(h) for h in host], axis=0)
+        return unpack_stats(total, L)
 
     def model_err_log10(self, handle, pos, strand, mask, model):
         """Device computeErrorProb log10 per masked row (gapless alignments)."""

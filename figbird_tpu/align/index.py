@@ -123,11 +123,19 @@ def build_index(genome: Genome, k: int = 15, pad: int = 256,
     flat = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int8)
 
     if device_tables:
-        # count valid windows (no N in k chars) for the bucket sizing only
-        good = (flat < 4).astype(np.int32)
-        cs = np.concatenate([[0], np.cumsum(good)])
-        n_valid = int(np.count_nonzero(
-            cs[k:] - cs[:-k] == k)) if len(flat) >= k else 0
+        # valid (N-free) window count for bucket sizing: non-N runs of
+        # length r contribute r-k+1 windows each (run enumeration is ~50x
+        # cheaper than a windowed cumsum compare at genome scale)
+        good = flat < 4
+        d = np.diff(good.astype(np.int8))
+        starts = np.flatnonzero(d == 1) + 1
+        ends = np.flatnonzero(d == -1) + 1
+        if good[:1].any():
+            starts = np.concatenate([[0], starts])
+        if good[-1:].any():
+            ends = np.concatenate([ends, [len(flat)]])
+        runs = ends - starts
+        n_valid = int(np.maximum(runs - k + 1, 0).sum())
         idx = KmerIndex(
             k=k, flat=flat, offsets=offsets, contig_lengths=lens,
             sorted_codes=None, sorted_pos=None, pad=pad,

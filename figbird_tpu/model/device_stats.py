@@ -74,11 +74,24 @@ def stats_batch(flat2d, seq, lengths, win_pos, strand, mask):
 
     base_counts = jnp.einsum("bl,blc->c", (jmask & mk).astype(jnp.float32),
                              ord_)
-    # counts stay < 2^24 per batch, exact in f32/int32; host side sums in int64
-    return dict(error_pos=error_pos,
-                error_types=error_types.astype(jnp.int32),
-                base_counts=base_counts.astype(jnp.int32),
-                n=jnp.sum(mask.astype(jnp.int32)))
+    # one packed vector per batch: a D2H array costs a large fixed latency
+    # on tunnel-attached TPUs, so 4 arrays x batches would dominate the
+    # model stage (counts < 2^24 stay exact in f32)
+    return jnp.concatenate([
+        error_pos.astype(jnp.float32).reshape(-1),
+        error_types.reshape(-1),
+        base_counts.reshape(-1),
+        jnp.sum(mask.astype(jnp.float32)).reshape(1),
+    ])
+
+
+def unpack_stats(vec, L: int) -> dict:
+    vec = np.asarray(vec)
+    return dict(
+        error_pos=vec[:L].astype(np.int64),
+        error_types=vec[L : L + 25].reshape(5, 5).astype(np.int64),
+        base_counts=vec[L + 25 : L + 30].astype(np.int64),
+        n=int(vec[L + 30]))
 
 
 @jax.jit
