@@ -956,8 +956,9 @@ def fill_gaps(
         _fill_bucket(genome, plans, gids, cfg, marr, large, partial_mode,
                      ib, scan_block, out_strings, placements, stats,
                      second_best, mesh=mesh)
-    logger.info("fill timers: %s", {k: v for k, v in stats.items()
-                                    if k.startswith("t_")})
+    logger.info("fill timers: %s scan_instances=%d",
+                {k: v for k, v in stats.items() if k.startswith("t_")},
+                stats.get("scan_instances", 0))
 
     return FillResult(out_strings, gaptofill, stats, placements, second_best)
 
@@ -981,9 +982,9 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
     """
     import time as _time
 
-    from ..fill.em import (SCAN_COLS, fill_batch_full_packed, fill_batch_scan,
+    from ..fill.em import (fill_batch_full_packed, fill_batch_scan,
                            finalize_batch_packed, finalize_packed_layout,
-                           full_packed_layout, scan_acc_update)
+                           full_packed_layout)
 
     _t0 = _time.time()
     gap_arrays = _build_gap_arrays(genome, [plans[g] for g in gids], cfg)

@@ -26,13 +26,22 @@ from figbird_tpu.dtypes import decode
 
 assert reference_available(), "reference sources not found"
 
-scale = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-INSERT = 300
-sim = simulate(SimConfig(
-    genome_len=int(120_000 * scale), n_contigs=2,
-    n_gaps=max(int(10 * scale), 4), gap_len_range=(8, 60),
-    read_len=101, insert_mean=INSERT, insert_sd=25,
-    coverage=15.0, error_rate=0.003, seed=7))
+if len(sys.argv) > 1 and sys.argv[1] == "--bench":
+    # EXACTLY the bench.py dataset (BASELINE.json config 1, E. coli scale):
+    # full-scale golden parity vs the compiled reference
+    INSERT = 200
+    sim = simulate(SimConfig(
+        genome_len=4_600_000, n_contigs=4, n_gaps=50,
+        gap_len_range=(10, 120), read_len=101, insert_mean=INSERT,
+        insert_sd=20, coverage=10.0, error_rate=0.005, seed=1))
+else:
+    scale = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    INSERT = 300
+    sim = simulate(SimConfig(
+        genome_len=int(120_000 * scale), n_contigs=2,
+        n_gaps=max(int(10 * scale), 4), gap_len_range=(8, 60),
+        read_len=101, insert_mean=INSERT, insert_sd=25,
+        coverage=15.0, error_rate=0.003, seed=7))
 r1, r2 = sim.reads1, sim.reads2
 print(f"# sim: genome={sim.truth.total_length()} pairs={len(r1)} "
       f"gaps={len(sim.draft.find_gaps())}")
@@ -84,7 +93,7 @@ gaps = sim.draft.find_gaps()
 tri = Triage(gaps, max_distance=INSERT, read_mean=INSERT, is_jump=False)
 tri.collect_partial(rpt, rr1, rr2)
 res = fill_gaps(sim.draft, gaps, tri.bundles, model, partial_mode=True,
-                partial_len=101)
+                partial_len=101, reference_exact=True)
 ours = sim.draft.splice_gaps(gaps, res.gap_strings, list(res.gaptofill))
 print(f"# ours from SAM {time.time()-t0:.1f}s (model pairs {n_model})")
 
