@@ -557,10 +557,17 @@ class Aligner:
 
     @staticmethod
     def _fetch_view(devs: list) -> list:
-        """Per-batch arrays to actually transfer: the packed matrix (plus
-        the mismatch mask when requested) instead of 12 scalar arrays."""
-        return [{kk: o[kk] for kk in ("packed", "mism_packed") if kk in o}
-                for o in devs]
+        """Arrays to actually transfer: ONE device-concatenated packed
+        matrix for the whole pass (plus the mismatch mask when requested) —
+        every D2H array pays a fixed tunnel latency, so even one array per
+        batch is too many."""
+        if not devs:
+            return []
+        keys = [kk for kk in ("packed", "mism_packed") if kk in devs[0]]
+        if len(devs) == 1:
+            return [{kk: devs[0][kk] for kk in keys}]
+        return [{kk: jnp.concatenate([o[kk] for o in devs], axis=0)
+                 for kk in keys}]
 
     def _dispatch_pass(self, seq, lengths, params):
         """Queue all batches asynchronously; no sync.  Returns (device result
@@ -615,9 +622,11 @@ class Aligner:
         n, L = shape
         if not host:
             return {}
-        cat = unpack_out(np.concatenate([o["packed"] for o in host])[:n])
+        cat = unpack_out(np.concatenate(
+            [np.asarray(o["packed"]) for o in host])[:n])
         if "mism_packed" in host[0]:
-            mp = np.concatenate([o["mism_packed"] for o in host])[:n]
+            mp = np.concatenate(
+                [np.asarray(o["mism_packed"]) for o in host])[:n]
             cat["mism"] = np.unpackbits(mp, axis=1, count=L).astype(bool)
         return cat
 
@@ -738,6 +747,10 @@ class Aligner:
             args_d = [d[:, j].astype(per_read_args[j].dtype)
                       for j in range(n_args)]
             outs.append(fn(self._flat2d, dev_chunk, dev_lens, *args_d, *extra))
+        if len(outs) > 1:  # one transfer for the whole pass
+            outs = [jnp.concatenate([o.reshape(-1) for o in outs])
+                    if outs[0].ndim == 1 else jnp.concatenate(outs, axis=0)]
+            return [_jax.device_get(outs[0])]
         return _jax.device_get(outs)
 
     def model_stats(self, handle, pos, strand, mask):
@@ -754,7 +767,8 @@ class Aligner:
             (pos.astype(np.int32), strand.astype(np.int8),
              mask.astype(bool)))
         L = int(handle[0][0].shape[-1])
-        total = np.sum([np.asarray(h) for h in host], axis=0)
+        vecs = np.concatenate([np.asarray(h).reshape(-1) for h in host])
+        total = vecs.reshape(-1, L + 31).sum(axis=0)
         return unpack_stats(total, L)
 
     def model_err_log10(self, handle, pos, strand, mask, model):

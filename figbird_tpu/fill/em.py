@@ -261,11 +261,14 @@ def partial_stack_probs(pr, p_clip, p_match, p_len, p_valid, max_gap_len, gap_le
                             jnp.int8(4))[:, :G1]
     m_r = (t < chars[:, None]) & right[:, None] & p_valid[:, None]
     cnt_r_rev = _padG(_counts4(m_r, ch_r))
-    # reverse into gap coordinates: u -> gap_len-1-u
-    gpos = gap_len - 1 - jnp.arange(max_gap_len)
-    cnt_r = jnp.zeros_like(cnt_r_rev).at[jnp.clip(gpos, 0, max_gap_len - 1)].add(
-        jnp.where((gpos >= 0)[:, None], cnt_r_rev, 0.0)
-    )
+    # reverse into gap coordinates (u -> gap_len-1-u): static flip + ONE
+    # dynamic row slice instead of a dynamic scatter (slow + 4-minor tile
+    # padding): cnt_r[g] = cnt_r_rev[gap_len-1-g]
+    rev = jnp.concatenate([cnt_r_rev[::-1, :],
+                           jnp.zeros_like(cnt_r_rev)], axis=0)
+    off = jnp.clip(max_gap_len - gap_len, 0, max_gap_len)
+    cnt_r = jax.lax.dynamic_slice(rev, (off, jnp.int32(0)),
+                                  (max_gap_len, 4))
 
     counts4 = 1.0 + cnt_l + cnt_r
     stop1_v = jnp.where(left & p_valid, stop1, 0)
@@ -369,10 +372,22 @@ def _detect_overlap_partial(cfg, inst, accept, pos_gap, bonus_cap=None):
     # left flank part: read char j sits at gap coord pos_gap+j; flank coords < 0
     gcoord = pos_gap[:, None] + j
     tmpl = inst["tmpl"]
-    wcoord = jnp.clip(gcoord + cfg.WL, 0, cfg.W - 1)
-    flank_char = tmpl[wcoord]
-    on_left = (gcoord < 0) & (gcoord >= -30) & (j < p_len[:, None])
-    on_right = (gcoord >= gl) & (gcoord < gl + 30) & (j < p_len[:, None])
+    # per-read contiguous windows of tmpl: span-extract instead of a (P, L)
+    # element gather (minor-axis gathers are ~60x slower on TPU)
+    from ..align.core import _extract_span
+
+    rows_n = (cfg.W + 127) // 128 + 2
+    tmpl2d = jnp.full((rows_n * 128,), jnp.int8(5)).at[: cfg.W].set(
+        tmpl).reshape(rows_n, 128)
+    wstart = jnp.clip(pos_gap + cfg.WL, 0, cfg.W - 1)
+    flank_char = _extract_span(tmpl2d, wstart, L)
+    # realign: _extract_span reads tmpl[wstart + j]; wcoord wants
+    # clip(gcoord + WL) which equals wstart + j except where the start was
+    # clipped — mask those columns out of both flank tests below
+    wcoord_ok = (gcoord + cfg.WL >= 0) & (gcoord + cfg.WL < cfg.W)
+    on_left = (gcoord < 0) & (gcoord >= -30) & (j < p_len[:, None]) & wcoord_ok
+    on_right = (gcoord >= gl) & (gcoord < gl + 30) & (j < p_len[:, None]) \
+        & wcoord_ok
     mis_l = jnp.sum(on_left & (pr != flank_char), axis=1)
     n_l = jnp.sum(on_left, axis=1)
     mis_r = jnp.sum(on_right & (pr != flank_char), axis=1)
