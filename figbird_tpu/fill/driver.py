@@ -76,6 +76,9 @@ class FillResult:
     # 6243-6246, 6360-6383).  Write-only state there (set, then only
     # deleted at 6594); surfaced here for inspection/parity.
     second_best: list = None
+    # per-gap (perfectread_gap, perfectread_gaplen) — the checkMIM flags the
+    # reference records in stat2.txt (Preprocess.cpp:2626-2629)
+    mim: np.ndarray = None
 
 
 # ---------------------------------------------------------------- analysis
@@ -892,6 +895,8 @@ def fill_gaps(
     plans = plan_gaps(genome, gaps, bundles, partial_mode, partial_len,
                       neg_overlap, max_scan_lengths)
     stats["t_plan"] = round(_time.time() - _t0, 3)
+    mim = np.asarray([(p.perfect_flag, p.perfect_len) for p in plans],
+                     np.int64).reshape(n_gaps, 2)
 
     active: list[int] = []
     for gi, plan in enumerate(plans):
@@ -906,7 +911,7 @@ def fill_gaps(
             active.append(gi)
 
     if not active:
-        return FillResult(out_strings, gaptofill, stats)
+        return FillResult(out_strings, gaptofill, stats, mim=mim)
 
     # ---- shape buckets ---------------------------------------------------
     L = int(read_len or max(
@@ -960,7 +965,8 @@ def fill_gaps(
                 {k: v for k, v in stats.items() if k.startswith("t_")},
                 stats.get("scan_instances", 0))
 
-    return FillResult(out_strings, gaptofill, stats, placements, second_best)
+    return FillResult(out_strings, gaptofill, stats, placements, second_best,
+                      mim=mim)
 
 
 def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
@@ -1017,7 +1023,6 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
         put_i(svl), put_i(svr))
 
     nb = instance_batch
-    CAP = max(32 * nb, nb)
 
     def _pad_chunk(r, le):
         pad = nb - len(r)

@@ -74,6 +74,36 @@ ONEHOT4[4] = 1.0  # N spreads over ACGT (update_partial_prob 1986-1990)
 ONEHOT5 = np.eye(5, dtype=np.float32)
 
 
+def _csum(x: jnp.ndarray) -> jnp.ndarray:
+    """Near-double-precision sum of a 1-D f32 vector (TwoSum pairwise tree).
+
+    The reference accumulates the per-gap likelihood in C ``double``
+    (Figbird.cpp:3178); a plain f32 reduction's error (~n*eps*sum|x| ~ 0.1 at
+    bench read counts) is the same order as the |d|<=0.9 plateau-exit
+    threshold (6258), flipping knife-edge candidate-length scan exits.  A
+    pairwise tree with exact per-add error tracking (Knuth TwoSum) keeps the
+    error at ~eps^2 * n levels — effectively double precision for these
+    magnitudes — for log2(n) cheap vector ops.
+    """
+    x = x.astype(jnp.float32).reshape(-1)
+    n = int(x.shape[0])
+    m = 1
+    while m < max(n, 1):
+        m *= 2
+    if m != n:
+        x = jnp.concatenate([x, jnp.zeros((m - n,), x.dtype)])
+    err = jnp.zeros_like(x)
+    while m > 1:
+        a, b = x[0::2], x[1::2]
+        s = a + b
+        bv = s - a
+        t = (a - (s - bv)) + (b - bv)  # exact rounding error of a+b
+        err = err[0::2] + err[1::2] + t
+        x = s
+        m //= 2
+    return (x + err)[0]
+
+
 def _onehot5(reads: jnp.ndarray, jvalid: jnp.ndarray) -> jnp.ndarray:
     """(..., L) int8 -> (..., L, 5) f32 one-hot, zeroed outside the read.
 
@@ -669,7 +699,7 @@ def _place_partial(cfg, inst, model, probs, eprobs, track_orig):
 
     mx = jnp.max(lnP, axis=1)
     has = mx > NEG / 2
-    ml_soft = jnp.sum(jnp.where(has & inst["p_valid"], mx, 0.0))
+    ml_soft = _csum(jnp.where(has & inst["p_valid"], mx, 0.0))
 
     cons0, _ = consensus_from_counts(counts, gap_zone, 0, 0)
     gap_string = jnp.where(gap_zone, cons0, inst["tmpl"])
@@ -754,8 +784,8 @@ def _place_unmapped(cfg, inst, model, probs, eprobs, finalize_flag: bool):
     mh10 = jnp.max(sh, axis=1) / LN10
     pos_h = jnp.argmax(sh, axis=1).astype(jnp.int32) - cfg.WL
     accept = (mh10 > NEG / 2) & (-mh10 < cfg.gap_prob_cutoff) & inst["u_valid"]
-    likelihood = jnp.sum(jnp.where(inst["u_valid"],
-                                   jnp.where(accept, mh10, -50.0), 0.0))
+    likelihood = _csum(jnp.where(inst["u_valid"],
+                                 jnp.where(accept, mh10, -50.0), 0.0))
     valid = jnp.sum(accept)
 
     # hard counts at max positions only (3868-3879)

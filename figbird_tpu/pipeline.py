@@ -505,7 +505,25 @@ class Pipeline:
                 from .parallel.distributed import merge_bundles
 
                 u_bundles = merge_bundles(u_bundles)
-            # merge unmapped bundles back into the full-genome gap list
+            # merge unmapped bundles back into the full-genome gap list.
+            # The 1:1 zip is valid because reduce_to_gapped keeps whole
+            # contigs (exactly the N-bearing ones) in order, so the reduced
+            # gap list equals the full one with contigs renumbered — assert
+            # that correspondence via the remap instead of assuming it.
+            if remap is not None:
+                if len(gaps2) != len(gaps):
+                    raise RuntimeError(
+                        f"reduced genome gap count {len(gaps2)} != "
+                        f"full genome {len(gaps)}")
+                for g2, g in zip(gaps2, gaps):
+                    if (int(remap[g2.contig]) != g.contig
+                            or g2.start != g.start
+                            or g2.length != g.length):
+                        raise RuntimeError(
+                            "reduced<->full gap correspondence broken: "
+                            f"reduced ({g2.contig},{g2.start},{g2.length}) "
+                            f"-> contig {int(remap[g2.contig])} vs full "
+                            f"({g.contig},{g.start},{g.length})")
             for b2_, b in zip(u_bundles, bundles):
                 b.u_seq, b.u_pos, b.u_rev = b2_.u_seq, b2_.u_pos, b2_.u_rev
             if (self.use_read_reduction and lib_i != mi
@@ -533,6 +551,7 @@ class Pipeline:
                 res.gap_strings = [v[0] for v in allv]
                 res.gaptofill = np.asarray([v[1] for v in allv], np.int64)
                 res.placements = None  # per-host partial; not meaningful
+                res.mim = None
             else:
                 res = fill_gaps(
                     genome, gaps, bundles, model,
@@ -582,9 +601,14 @@ class Pipeline:
         (wd / "Temp" / "stat.txt").write_text(
             f"{n_reads} 0 {mlib.max_read_length} "
             f"{max(20000, 2 * mlib.avg_insert_size + 1)}")
+        # gaptofill, perfectread_gap, perfectread_gaplen (Preprocess.cpp:
+        # 2626-2629) — the MIM flags from plan_gaps/the banded tier
+        mim = res.mim if res.mim is not None else np.zeros((len(gaps), 2),
+                                                           np.int64)
         with open(wd / "Temp" / "stat2.txt", "w") as fh:
             for i, g in enumerate(gaps):
-                fh.write(f"{int(res.gaptofill[i])}\t0\t0\n")
+                fh.write(f"{int(res.gaptofill[i])}\t{int(mim[i, 0])}\t"
+                         f"{int(mim[i, 1])}\n")
         with open(wd / "Temp" / "gaploads.txt", "w") as fh:
             shapes = res.stats.get("bucket_shapes", {})
             fh.write(f"{len(shapes)}\n")

@@ -321,6 +321,8 @@ class Triage:
         For jump libs (maxDistance>250) both-mapped discordant pairs are also
         used in both anchor directions (Preprocess.cpp:1202-1343).
         """
+        if not self.gaps:  # fully-filled genome: nothing to harvest
+            return
         reads = (reads1, reads2)
         oa = np.asarray(pt.one_anchored)
         both = np.asarray(pt.aligned[:, 0]) & np.asarray(pt.aligned[:, 1])
@@ -420,6 +422,8 @@ class Triage:
         """
         from ..dtypes import phred_to_error_prob
 
+        if not self.gaps:  # fully-filled genome: nothing to harvest
+            return
         oriented = (oriented1, oriented2)
         reads = (reads1, reads2)
         aligns = (align1, align2)
