@@ -753,30 +753,42 @@ class Aligner:
             return [_jax.device_get(outs[0])]
         return _jax.device_get(outs)
 
-    def model_stats(self, handle, pos, strand, mask):
+    def model_stats(self, handle, pos, strand, mask, clip_s=None, clip_e=None):
         """Device sufficient statistics over masked rows (see device_stats).
 
         Returns summed dict(error_pos, error_types, base_counts, n) as host
         arrays.  ``pos``/``strand`` are the FINAL alignment outputs (post
         two-tier escalation); ``mask`` must exclude indel-tier rows.
+        ``clip_s``/``clip_e`` restrict substitution counting to the matched
+        region (clipped reads are part of the reference's model set).
         """
         from ..model.device_stats import stats_batch, unpack_stats
 
+        if clip_s is None:
+            clip_s = np.zeros(len(pos), np.int32)
+        if clip_e is None:
+            clip_e = np.zeros(len(pos), np.int32)
         host = self._stats_dispatch(
             stats_batch, handle,
             (pos.astype(np.int32), strand.astype(np.int8),
-             mask.astype(bool)))
+             mask.astype(bool), clip_s.astype(np.int32),
+             clip_e.astype(np.int32)))
         L = int(handle[0][0].shape[-1])
         vecs = np.concatenate([np.asarray(h).reshape(-1) for h in host])
         total = vecs.reshape(-1, L + 31).sum(axis=0)
         return unpack_stats(total, L)
 
-    def model_err_log10(self, handle, pos, strand, mask, model):
+    def model_err_log10(self, handle, pos, strand, mask, model,
+                        clip_s=None, clip_e=None):
         """Device computeErrorProb log10 per masked row (gapless alignments)."""
         from ..model.device_stats import err_log10_batch, model_log10_arrays
 
         t_cyc, lbe, let, noe = model_log10_arrays(model)
         L = int(handle[0][0].shape[-1])
+        if clip_s is None:
+            clip_s = np.zeros(len(pos), np.int32)
+        if clip_e is None:
+            clip_e = np.zeros(len(pos), np.int32)
 
         def fit(v):
             v = np.asarray(v)
@@ -788,7 +800,8 @@ class Aligner:
         host = self._stats_dispatch(
             err_log10_batch, handle,
             (pos.astype(np.int32), strand.astype(np.int8),
-             mask.astype(bool)), extra=extra)
+             mask.astype(bool), clip_s.astype(np.int32),
+             clip_e.astype(np.int32)), extra=extra)
         return np.concatenate(host)[: len(pos)]
 
     def _banded_dispatch(self, seq, lengths, out):

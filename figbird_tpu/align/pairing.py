@@ -5,8 +5,12 @@ concordance (flag&2, Preprocess.cpp:2447-2593 streaming), fragment/insert
 size (TLEN), and per-pair classification:
 
 * ``concordant`` — FR orientation, same contig, insert in (0, max_insert]
-* ``model`` — concordant AND both mates unique full-length alignments
-  (the myout.sam set: unique via IH:i:1, Figbird.cpp:904)
+* ``model`` — both mates aligned to the SAME contig: the ``myout.sam`` set.
+  Preprocess's printVectors (641-855) writes EVERY qname group whose two
+  records carry equal non-``*`` RNAMEs — clipped, discordant and
+  non-unique pairs included — and overwrites IH with the group size (one
+  record per mate => always 1), so Figbird's ``nh==1`` filter
+  (processMapping, 846-921) passes for all of them.
 * ``one_anchored`` — exactly one mate aligned (the unmapped-fill candidates,
   printMixedVectors case 2, Preprocess.cpp:1202)
 
@@ -95,8 +99,11 @@ def build_pair_table(
     concordant = same_contig & opp & fwd_first & (insert > 0) & (insert <= max_insert)
     insert = np.where(concordant, insert, 0)
 
-    full_len = (clip_s <= max_model_clip) & (clip_e <= max_model_clip)
-    model = concordant & unique[:, 0] & unique[:, 1] & full_len[:, 0] & full_len[:, 1]
+    # the myout.sam set (see module docstring): both-mapped same-contig pairs,
+    # with NO uniqueness/clip/concordance requirement — the reference's model
+    # learning counts all of them (insert histogram entries still require
+    # TLEN > 0, i.e. concordance, via ``insert``)
+    model = same_contig
 
     one_anchored = np.full(n, -1, dtype=np.int8)
     one_anchored[aligned[:, 0] & ~aligned[:, 1]] = 0

@@ -1143,6 +1143,26 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
             evl[gi].append(extra_lens[t])
             orig_eval_j[gi] = len(acc[gi]) - 1
 
+    # ---- optional scan trace (debug/profiling; see utils/trace.py) -------
+    import os as _os
+
+    _trace_path = _os.environ.get("FIGBIRD_SCAN_TRACE")
+    if _trace_path:
+        import json as _json
+
+        with open(_trace_path, "a") as _fh:
+            for gi in gids:
+                a = np.asarray(acc[gi])
+                best_j, n_eval, varied, second_j = replayed[gi]
+                _fh.write(_json.dumps({
+                    "gap": gi, "start": int(plans[gi].gap.start),
+                    "orig": int(plans[gi].gap.length),
+                    "lengths": [int(x) for x in evl[gi]],
+                    "lik": [float(x) for x in a[:, 0]],
+                    "valid": [int(x) for x in a[:, 1]],
+                    "best_j": int(best_j), "n_eval": int(n_eval),
+                    "varied": bool(varied)}) + "\n")
+
     # ---- per-gap decision ------------------------------------------------
     chosen = {}
     for gi in gids:

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..dtypes import GAP_CODE, N_BASES
-from ..align.core import _extract_span, _revcomp_batch, to_cycle_batch
+from ..align.core import (_extract_span, _revcomp_batch, shift_left_batch,
+                          to_cycle_batch)
 
 
 def _aligned_view(flat2d, seq, lengths, win_pos, strand):
@@ -51,14 +52,22 @@ def _aligned_view(flat2d, seq, lengths, win_pos, strand):
 
 
 @jax.jit
-def stats_batch(flat2d, seq, lengths, win_pos, strand, mask):
+def stats_batch(flat2d, seq, lengths, win_pos, strand, mask, clip_s, clip_e):
     """Sufficient statistics over one read batch (masked rows only).
+
+    Substitution counting is restricted to the matched region
+    [clip_start, len-clip_end) — the MD tag only covers it
+    (processErrorTypes's inserts[] offset mapping); base composition runs
+    over the full SEQ string (getLength, Figbird.cpp:255-275).
 
     Returns dict(error_pos (L,), error_types (5,5), base_counts (5,), n ()).
     """
     B, L = seq.shape
     oriented, win, jmask, mism = _aligned_view(flat2d, seq, lengths, win_pos,
                                                strand)
+    j = jnp.arange(L)[None, :]
+    region = (j >= clip_s[:, None]) & (j < (lengths - clip_e)[:, None])
+    mism = mism & region
     mk = mask[:, None]
     # cycle-indexed mismatch mask: flip + realign reverse-strand rows
     mism8 = (mism & mk).astype(jnp.int8)
@@ -96,23 +105,37 @@ def unpack_stats(vec, L: int) -> dict:
 
 @jax.jit
 def err_log10_batch(flat2d, seq, lengths, win_pos, strand, mask,
-                    t_cyc, lbe, let, noerr_log10):
+                    clip_s, clip_e, t_cyc, lbe, let, noerr_log10):
     """log10 computeErrorProb per read (gapless alignments).
 
     ``t_cyc`` (L,) = log10(errorPosDist) - log10(1-e-in-del) per cycle;
     ``lbe`` (5,) = log10(baseErrorRates); ``let`` (5,5) =
     log10(errorTypeProbs); ``noerr_log10`` (L,) = log10(noErrorProbs).
     Rows outside ``mask`` return 0.
+
+    Clipped reads replicate computeErrorProb's clip quirk (its CIGAR
+    tokeniser omits 'S', Figbird.cpp:1192): a mismatch at read position j
+    is charged at the UNCLIPPED cycle j-clip_start, with the 'to' char
+    read[j-clip_start], and the substitution factor gated on that shifted
+    char differing from the genome base.
     """
+    B, L = seq.shape
     oriented, win, jmask, mism = _aligned_view(flat2d, seq, lengths, win_pos,
                                                strand)
-    mm8 = mism.astype(jnp.int8)
+    j = jnp.arange(L)[None, :]
+    region = (j >= clip_s[:, None]) & (j < (lengths - clip_e)[:, None])
+    mism = mism & region
+    # shift mismatches to MD-relative coordinates j' = j - clip_start
+    mm8 = shift_left_batch(mism.astype(jnp.int8), clip_s, jnp.int8(0))
     mism_cyc = jnp.where((strand == 1)[:, None],
                          to_cycle_batch(mm8, lengths, jnp.int8(0)), mm8)
     cyc_term = jnp.sum(mism_cyc.astype(jnp.float32) * t_cyc[None, :], axis=1)
+    # 'to' char at the shifted position: to[j] = oriented[j - clip_start]
+    to_sh = shift_left_batch(oriented[:, ::-1], clip_s, jnp.int8(GAP_CODE)
+                             )[:, ::-1]
     sub = lbe[jnp.clip(win, 0, 4)] + let[jnp.clip(win, 0, 4),
-                                         jnp.clip(oriented, 0, 4)]
-    sub_term = jnp.sum(jnp.where(mism, sub, 0.0), axis=1)
+                                         jnp.clip(to_sh, 0, 4)]
+    sub_term = jnp.sum(jnp.where(mism & (win != to_sh), sub, 0.0), axis=1)
     base = noerr_log10[jnp.clip(lengths - 1, 0, noerr_log10.shape[0] - 1)]
     return jnp.where(mask, base + cyc_term + sub_term, 0.0)
 

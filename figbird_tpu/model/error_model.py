@@ -69,6 +69,33 @@ class ModelStats:
         return out
 
 
+def add_clip_events(st: ModelStats, clip_start: np.ndarray,
+                    clip_end: np.ndarray, strand: np.ndarray,
+                    lengths: np.ndarray) -> None:
+    """Soft clips as insertion events (processErrorTypes tokenises "IDMS^",
+    Figbird.cpp:326-353, so 'S' ops count like 'I'): leading clip sits at
+    CIGAR index 0 -> cycle 0 (fwd) / len-1 (rev); trailing clip at index
+    len-ce -> cycle len-ce (fwd) / ce-1 (rev); length histogram at len-1."""
+    Lmax = st.max_read_length
+    n = len(clip_start)
+    clip_start = np.asarray(clip_start, np.int64)
+    clip_end = np.asarray(clip_end, np.int64)
+    lengths = np.asarray(lengths, np.int64)
+    for sel_clip, cyc_fwd, cyc_rev in (
+            (clip_start > 0, np.zeros(n, np.int64), lengths - 1),
+            (clip_end > 0, lengths - clip_end, clip_end - 1)):
+        if not sel_clip.any():
+            continue
+        cyc = np.where(strand == 0, cyc_fwd, cyc_rev)[sel_clip]
+        st.in_pos += np.bincount(np.clip(cyc, 0, Lmax - 1),
+                                 minlength=Lmax)[:Lmax]
+    for clip in (clip_start, clip_end):
+        cl = clip[clip > 0]
+        if cl.size:
+            st.in_lengths += np.bincount(np.clip(cl - 1, 0, Lmax - 1),
+                                         minlength=Lmax)[:Lmax]
+
+
 def collect_stats(
     flat_genome: np.ndarray,
     reads_oriented: np.ndarray,  # (n, L) int8, orientation as aligned
@@ -82,6 +109,8 @@ def collect_stats(
     max_read_length: int | None = None,
     chunk: int = 65536,
     indel_events: tuple[np.ndarray, np.ndarray] | None = None,
+    clip_start: np.ndarray | None = None,
+    clip_end: np.ndarray | None = None,
 ) -> ModelStats:
     """Build sufficient statistics from model-set alignments.
 
@@ -94,10 +123,24 @@ def collect_stats(
     reverse strand, length histogram at length-1).  Cycles arrive in
     aligned-read orientation; ``rlen`` for the flip is taken per event as
     column 3 when present, else max_read_length.
+
+    ``clip_start``/``clip_end``: per-read soft-clip lengths.  The reference's
+    CIGAR walk treats ``S`` ops exactly like insertions
+    (processErrorTypes:339-353 tokenises "IDMS^"), so each clip contributes
+    an inPos/inLengths event, and substitution counting is restricted to the
+    matched region (MD only covers it).
     """
     n, L = reads_oriented.shape
     Lmax = int(max_read_length or L)
     st = ModelStats(Lmax)
+    if clip_start is None:
+        clip_start = np.zeros(n, np.int64)
+    if clip_end is None:
+        clip_end = np.zeros(n, np.int64)
+    clip_start = np.asarray(clip_start, np.int64)
+    clip_end = np.asarray(clip_end, np.int64)
+
+    add_clip_events(st, clip_start, clip_end, strand, lengths)
 
     # insert histogram (one entry per pair, contig-length filtered upstream)
     ins = inserts[inserts > 0]
@@ -139,9 +182,11 @@ def collect_stats(
                       dtype=np.int64)
         bc[4] -= int((L - lens).sum())
         st.base_counts += bc
-        # mismatches are sparse: extract coordinates once
+        # mismatches are sparse: extract coordinates once; restricted to the
+        # matched region [clip_start, len-clip_end) — MD only covers it
         mm_i, mm_j = np.nonzero(mism[sl])
-        keep = mm_j < lens[mm_i]
+        cs_sl, ce_sl = clip_start[sl], clip_end[sl]
+        keep = (mm_j < lens[mm_i] - ce_sl[mm_i]) & (mm_j >= cs_sl[mm_i])
         mm_i, mm_j = mm_i[keep], mm_j[keep]
         # substitution cycle: oriented j for fwd, length-1-j for rev
         cyc = np.where(strand[sl][mm_i] == 0, mm_j, lens[mm_i] - 1 - mm_j)
@@ -325,32 +370,52 @@ def alignment_error_log10(
     strand: np.ndarray,
     mism: np.ndarray,
     from_codes: np.ndarray,  # (n, L) genome base at each read position
+    clip_start: np.ndarray | None = None,
+    clip_end: np.ndarray | None = None,
 ) -> np.ndarray:
     """log10 of computeErrorProb (Figbird.cpp:952-1153) for gapless alignments.
 
     errorProb = noErrorProbs[len-1] * prod_mismatch[
         errorPosDist[c]/(1-e_c-in_c-del_c) * baseErrorRates[f] * errorTypeProbs[f,t] ]
     where c is the sequencing cycle of the mismatch.
+
+    Clipped reads replicate a reference quirk: computeErrorProb's CIGAR
+    tokeniser omits 'S' (1192 — unlike processErrorTypes's), so the clip
+    offset never enters its MD position mapping.  A mismatch at read
+    position j is evaluated at the UNCLIPPED cycle j-clip_start, with the
+    'to' character read[j-clip_start] (the wrong position), and the
+    baseErrorRates*errorTypeProbs factor applies only when that shifted
+    character differs from the genome base (1104-1143).
     """
     n, L = reads_oriented.shape
+    if clip_start is None:
+        clip_start = np.zeros(n, np.int64)
+    if clip_end is None:
+        clip_end = np.zeros(n, np.int64)
+    clip_start = np.asarray(clip_start, np.int64)
+    clip_end = np.asarray(clip_end, np.int64)
     base = np.log10(
         np.maximum(model.no_error_probs[np.clip(lengths - 1, 0, model.max_read_length - 1)], 1e-300)
     )
     # mismatches are sparse (<1% of positions): evaluate the per-event term
     # only at (read, pos) mismatch coordinates instead of densely over (n, L)
     ii, jj = np.nonzero(mism)
-    keep = jj < lengths[ii]
+    keep = (jj < lengths[ii] - clip_end[ii]) & (jj >= clip_start[ii])
     ii, jj = ii[keep], jj[keep]
-    cyc = np.where(strand[ii] == 0, jj, lengths[ii] - 1 - jj)
+    jp = jj - clip_start[ii]  # MD-relative position (no clip offset)
+    cyc = np.where(strand[ii] == 0, jp, lengths[ii] - 1 - jp)
     cyc = np.clip(cyc, 0, model.max_read_length - 1)
     fc = from_codes[ii, jj]
+    tc = reads_oriented[ii, jp]  # shifted 'to' char (reference quirk)
     denom = 1.0 - model.error_pos_dist - model.in_pos_dist - model.del_pos_dist
     term = (
         np.log10(model.error_pos_dist[cyc])
         - np.log10(np.maximum(denom[cyc], 1e-300))
-        + np.log10(model.base_error_rates[fc])
-        + np.log10(
-            np.maximum(model.error_type_probs[fc, reads_oriented[ii, jj]], 1e-300)
+        + np.where(
+            fc != tc,
+            np.log10(model.base_error_rates[fc])
+            + np.log10(np.maximum(model.error_type_probs[fc, tc], 1e-300)),
+            0.0,
         )
     )
     out = base.astype(np.float64)

@@ -111,7 +111,8 @@ def _model_indel_events(m, a1, a2, r1, r2):
 
 
 def _learn_model_host(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
-                      partial_len, input_mean=0.0) -> tuple[ErrorModel, int]:
+                      partial_len, input_mean=0.0, holds_end=True
+                      ) -> tuple[ErrorModel, int]:
     """Host-side model learning (SAM-injected alignments, golden path)."""
     m = pt.model
     n_model = int(m.sum())
@@ -122,6 +123,8 @@ def _learn_model_host(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
     wins = np.concatenate([a1["pos"][m], a2["pos"][m]]).astype(np.int64)
     strands = np.concatenate([a1["strand"][m], a2["strand"][m]])
     mism = np.concatenate([a1["mism"][m], a2["mism"][m]])
+    clips_s = np.concatenate([a1["clip_start"][m], a2["clip_start"][m]])
+    clips_e = np.concatenate([a1["clip_end"][m], a2["clip_end"][m]])
     clr = contig_lengths[np.concatenate([pt.contig[m, 0], pt.contig[m, 1]])]
     st = collect_stats(idx.flat, reads, lens, wins, strands, mism,
                        inserts=np.concatenate([pt.insert[m],
@@ -130,17 +133,24 @@ def _learn_model_host(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
                            [clr[:n_model], np.zeros(n_model)]),
                        input_mean=input_mean,
                        max_read_length=int(max(r1.seq.shape[1], r2.seq.shape[1])),
-                       indel_events=_model_indel_events(m, a1, a2, r1, r2))
+                       indel_events=_model_indel_events(m, a1, a2, r1, r2),
+                       clip_start=clips_s, clip_end=clips_e)
     model = finalize_model(st, contig_lengths, partial_flag=partial_flag,
                            partial_len=partial_len)
     # gap-prob cutoff from mate2 error probabilities (computeLikelihood side
-    # effect, Figbird.cpp:1312-1322)
+    # effect, Figbird.cpp:1312-1322).  The reference's per-pair flush means
+    # the LAST myout pair is never counted into gapProbs (1303-1338 flushes
+    # the previous pair only; the post-loop flush skips gapProbs).
     L2 = r2.seq.shape[1]
     j = np.arange(L2)
     win2 = a2["pos"][m].astype(np.int64)
     from2 = idx.flat[win2[:, None] + j[None, :]]
     lg2 = alignment_error_log10(model, o2m, r2.length[m], a2["strand"][m],
-                                a2["mism"][m], from2)
+                                a2["mism"][m], from2,
+                                clip_start=a2["clip_start"][m],
+                                clip_end=a2["clip_end"][m])
+    if holds_end and len(lg2):
+        lg2 = lg2[:-1]
     from .model.error_model import gap_prob_hist
     hist = gap_prob_hist(lg2)
     model.gap_prob_cutoff = compute_gap_prob_cutoff(model, hist=hist)
@@ -165,7 +175,7 @@ def _indel_mism_rows(a: dict, rows: np.ndarray, L: int) -> np.ndarray:
 
 
 def _learn_model_device(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
-                        partial_len, aligner, input_mean=0.0
+                        partial_len, aligner, input_mean=0.0, holds_end=True
                         ) -> tuple[ErrorModel, int]:
     """Device-side model learning over the aligner's resident read batches.
 
@@ -197,7 +207,8 @@ def _learn_model_device(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
         indel = np.asarray(a.get("indel", zero))
         dev_mask = m & ~indel
         dsum = aligner.model_stats(a["stats_handle"], a["pos"], a["strand"],
-                                   dev_mask)
+                                   dev_mask, clip_s=a["clip_start"],
+                                   clip_e=a["clip_end"])
         L = rb.seq.shape[1]
         st.error_pos[:L] += np.asarray(dsum["error_pos"], np.int64)[:L]
         st.error_types += np.asarray(dsum["error_types"], np.int64)
@@ -206,6 +217,10 @@ def _learn_model_device(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
         lens_m = rb.length[dev_mask]
         st.read_lengths += np.bincount(
             np.clip(lens_m - 1, 0, Lmax - 1), minlength=Lmax)[:Lmax]
+        from .model.error_model import add_clip_events
+        add_clip_events(st, a["clip_start"][dev_mask],
+                        a["clip_end"][dev_mask], a["strand"][dev_mask],
+                        rb.length[dev_mask])
         rows = np.flatnonzero(m & indel)
         if rows.size:  # indel rows: host stats from the banded tracebacks
             o = _oriented_rows(rb, a, rows)
@@ -214,7 +229,8 @@ def _learn_model_device(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
                 a["pos"][rows].astype(np.int64), a["strand"][rows],
                 _indel_mism_rows(a, rows, rb.seq.shape[1]),
                 inserts=np.zeros(rows.size, np.int64),
-                max_read_length=Lmax)
+                max_read_length=Lmax,
+                clip_start=a["clip_start"][rows], clip_end=a["clip_end"][rows])
             st = st.merge(sti)
 
     ins_ev, del_ev = _model_indel_events(m, a1, a2, r1, r2)
@@ -241,11 +257,20 @@ def _learn_model_device(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
                            partial_len=partial_len)
 
     indel2 = np.asarray(a2.get("indel", zero))
+    # computeLikelihood's per-pair flush never counts the LAST myout pair
+    # into gapProbs (Figbird.cpp:1303-1338 flushes the previous pair; the
+    # post-loop flush skips the histogram) — drop the final model pair on
+    # the process holding the global end of the read set
+    m_hist = m
+    if holds_end and m.any():
+        m_hist = m.copy()
+        m_hist[np.flatnonzero(m)[-1]] = False
     mask2 = m & ~indel2
     lg = aligner.model_err_log10(a2["stats_handle"], a2["pos"], a2["strand"],
-                                 mask2, model)
-    vals = lg[mask2]
-    rows2 = np.flatnonzero(m & indel2)
+                                 mask2, model, clip_s=a2["clip_start"],
+                                 clip_e=a2["clip_end"])
+    vals = lg[m_hist & ~indel2]
+    rows2 = np.flatnonzero(m_hist & indel2)
     if rows2.size:
         o2 = _oriented_rows(r2, a2, rows2)
         L2 = r2.seq.shape[1]
@@ -253,7 +278,9 @@ def _learn_model_device(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
                          + np.arange(L2)[None, :]]
         vals = np.concatenate([vals, alignment_error_log10(
             model, o2, r2.length[rows2], a2["strand"][rows2],
-            _indel_mism_rows(a2, rows2, L2), from2)])
+            _indel_mism_rows(a2, rows2, L2), from2,
+            clip_start=a2["clip_start"][rows2],
+            clip_end=a2["clip_end"][rows2])])
     from .model.error_model import gap_prob_hist
     hist = gap_prob_hist(vals)
     if is_distributed():
@@ -264,7 +291,7 @@ def _learn_model_device(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
 
 
 def _learn_model(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
-                 partial_len, input_mean=0.0, aligner=None
+                 partial_len, input_mean=0.0, aligner=None, holds_end=True
                  ) -> tuple[ErrorModel, int]:
     if int(pt.model.sum()) == 0:
         return None, 0
@@ -272,9 +299,9 @@ def _learn_model(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
             and "stats_handle" in a2):
         return _learn_model_device(idx, pt, a1, a2, r1, r2, contig_lengths,
                                    partial_flag, partial_len, aligner,
-                                   input_mean)
+                                   input_mean, holds_end)
     return _learn_model_host(idx, pt, a1, a2, r1, r2, contig_lengths,
-                             partial_flag, partial_len, input_mean)
+                             partial_flag, partial_len, input_mean, holds_end)
 
 
 class Pipeline:
@@ -311,14 +338,19 @@ class Pipeline:
             else distributed
         self.genome = genome
         self.libs = []
+        self._holds_end: list[bool] = []  # owns the global last read pair
         for lib, (r1, r2) in zip(cfg.read_pairs, libs):
             if lib.is_reverse:  # Reverse.cpp: RC both files of RF libraries
                 r1, r2 = r1.revcomp(), r2.revcomp()
+            holds_end = True
             if self.dist:  # host-level read decomposition
-                sl = dist.shard_reads(len(r1))
+                n_total = len(r1)
+                sl = dist.shard_reads(n_total)
+                holds_end = sl.stop == n_total and sl.start < n_total
                 r1, r2 = r1.take(np.arange(sl.start, sl.stop)), \
                     r2.take(np.arange(sl.start, sl.stop))
             self.libs.append((r1, r2))
+            self._holds_end.append(holds_end)
         self.workdir = Path(workdir) if workdir else None
         if self.workdir:
             for d in ("Filled_Scaffolds", "Individual_gaps", "Temp"):
@@ -435,7 +467,8 @@ class Pipeline:
                     idx, pt, a1, a2, r1, r2, genome.lengths,
                     partial_flag=(mode == "p"), partial_len=partial_len,
                     input_mean=(m_lib.avg_insert_size
-                                if cfgp.set_inputmean else 0.0), aligner=al)
+                                if cfgp.set_inputmean else 0.0), aligner=al,
+                    holds_end=self._holds_end[mi])
                 if model is None or n_model < self.min_model_pairs:
                     model = self.saved_model
                     if model is None:
@@ -485,7 +518,8 @@ class Pipeline:
                 idx2, pt2, b1, b2, *self.libs[lib_i], genome2.lengths,
                 partial_flag=False, partial_len=partial_len,
                 input_mean=(t_lib.avg_insert_size if cfgp.set_inputmean
-                            else 0.0), aligner=al2)
+                            else 0.0), aligner=al2,
+                holds_end=self._holds_end[lib_i])
             if m2 is not None and nm2 >= self.min_model_pairs:
                 model = m2
                 if maxD2 > 250:
