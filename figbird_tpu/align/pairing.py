@@ -5,12 +5,13 @@ concordance (flag&2, Preprocess.cpp:2447-2593 streaming), fragment/insert
 size (TLEN), and per-pair classification:
 
 * ``concordant`` — FR orientation, same contig, insert in (0, max_insert]
-* ``model`` — both mates aligned to the SAME contig: the ``myout.sam`` set.
-  Preprocess's printVectors (641-855) writes EVERY qname group whose two
-  records carry equal non-``*`` RNAMEs — clipped, discordant and
-  non-unique pairs included — and overwrites IH with the group size (one
-  record per mate => always 1), so Figbird's ``nh==1`` filter
-  (processMapping, 846-921) passes for all of them.
+* ``model`` — CONCORDANT pairs: the ``myout.sam`` set.  Preprocess routes
+  records without SAM flag 0x2 to mixedReads/printMixedVectors (gap
+  harvesting, Preprocess.cpp:2458-2516); flag-0x2 groups reach printVectors
+  (641-855), which writes every such pair — clipped and non-unique included
+  — and overwrites IH with the group size (one record per mate => always
+  1), so Figbird's ``nh==1`` filter (processMapping, 846-921) passes for
+  all of them.
 * ``one_anchored`` — exactly one mate aligned (the unmapped-fill candidates,
   printMixedVectors case 2, Preprocess.cpp:1202)
 
@@ -99,11 +100,13 @@ def build_pair_table(
     concordant = same_contig & opp & fwd_first & (insert > 0) & (insert <= max_insert)
     insert = np.where(concordant, insert, 0)
 
-    # the myout.sam set (see module docstring): both-mapped same-contig pairs,
-    # with NO uniqueness/clip/concordance requirement — the reference's model
-    # learning counts all of them (insert histogram entries still require
-    # TLEN > 0, i.e. concordance, via ``insert``)
-    model = same_contig
+    # the myout.sam set (see module docstring): CONCORDANT pairs — records
+    # without SAM flag 0x2 go to mixedReads/printMixedVectors (gap
+    # harvesting), never myout (Preprocess.cpp:2458-2516); within myout the
+    # reference applies NO uniqueness or full-length requirement (IH is
+    # overwritten with the group size = 1), so clipped and non-unique
+    # concordant pairs all feed the model
+    model = concordant.copy()
 
     one_anchored = np.full(n, -1, dtype=np.int8)
     one_anchored[aligned[:, 0] & ~aligned[:, 1]] = 0

@@ -364,7 +364,7 @@ def _build_instances(genome: Genome, items: list[tuple[GapPlan, int]],
     tmpl = np.full((G, W), 5, np.int8)
     arr = dict(
         gap_len=np.zeros(G, np.int32), orig_gap=np.zeros(G, np.int32),
-        gap_start=np.zeros(G, np.int32),
+        gap_start=np.zeros(G, np.int32), side_limit=np.zeros(G, np.int32),
         perfect_gap=np.zeros(G, np.int32), perfect_gaplen=np.zeros(G, np.int32),
         ur=np.full((G, cfg.R, L), GAP_CODE, np.int8),
         u_len=np.zeros((G, cfg.R), np.int32),
@@ -386,6 +386,7 @@ def _build_instances(genome: Genome, items: list[tuple[GapPlan, int]],
         arr["gap_len"][i] = glen
         arr["orig_gap"][i] = g.length
         arr["gap_start"][i] = g.start
+        arr["side_limit"][i] = plan.side_limit
         arr["perfect_gap"][i] = plan.perfect_flag
         arr["perfect_gaplen"][i] = plan.perfect_len
         # template: left flank chars at [WL-k, WL); gap zone = 4 (set via codes);
@@ -649,14 +650,22 @@ def _recheck_partial(cons: np.ndarray, counts: np.ndarray, pos: np.ndarray,
     return 0
 
 
-def _detect_overlap_host(plan: GapPlan, accept, pos, gap_len) -> tuple[int, int]:
+def _detect_overlap_host(plan: GapPlan, accept, pos, gap_len,
+                         saved_pair: list | None = None) -> tuple[int, int]:
     """Host detect_overlap_gapestimate for the finalize pass (5517).
 
     Returns (ret0, ret1): 300 perfect; max_overlap; 0; ret1=-1 false overlap.
+    Mirrors the device ``_detect_overlap_partial``: flank-gated pair
+    verification (find_partial_match, 2690-2700), sm_flag spanning match-2/3
+    reads in right_cross with shifted common substrings (2704-2722), and
+    equal-length common strings required for a pair to count.
+    ``saved_pair`` (optional 2-list) receives the winning pair indices.
     """
     seqs = plan.bundle.p_seq
     matches = plan.bundle.p_match
     P = len(seqs)
+    sl = plan.side_limit
+    lf, rf = plan.left_flank, plan.right_flank
     l_max, r_min = -1 << 20, 1 << 20
     for k in range(P):
         if not accept[k]:
@@ -673,57 +682,87 @@ def _detect_overlap_host(plan: GapPlan, accept, pos, gap_len) -> tuple[int, int]
     if r_min == 1 << 20:
         r_min = gap_len
 
-    # perfect spanning read
-    gl_f, gr_f = plan.left_flank, plan.right_flank
+    def _lflank_ok(k, thresh, min_len):
+        """find_partial_match(gap_left, get_read_frag(read, p<0), 0, ...)."""
+        p, s = int(pos[k]), seqs[k]
+        f = min(-p, sl)
+        if f < min_len or len(lf) < f:
+            return False
+        frag = s[-p - f : -p]
+        if len(frag) != f:
+            return False
+        frac = (lf[-f:] != frag).mean()
+        return frac <= 0.08 if min_len == 8 else frac < 0.2
+
+    def _rflank_ok(k, thresh, min_len):
+        p, s = int(pos[k]), seqs[k]
+        startr = gap_len - p
+        if startr < 0 or startr > len(s):
+            return False
+        f = min(sl, len(s) - startr)
+        if f < min_len or len(rf) < f:
+            return False
+        frag = s[startr : startr + f]
+        frac = (rf[:f] != frag).mean()
+        return frac <= 0.08 if min_len == 8 else frac < 0.2
+
+    # perfect spanning read (2604-2624) + checkMIM flag (2638)
     for k in range(P):
         if not accept[k]:
             continue
         p, s = int(pos[k]), seqs[k]
         if p < 0 and p + len(s) > gap_len:
-            lpart = s[max(-p - SIDE_LIMIT, 0) : -p]
-            rpart = s[-p + gap_len : -p + gap_len + SIDE_LIMIT]
-            def _ok(a, b):
-                n = min(len(a), len(b))
-                if n < 8:
-                    return False
-                return (a[-n:] != b[-n:]).mean() <= 0.08 if a is gl_f else \
-                       (a[:n] != b[:n]).mean() <= 0.08
-            okl = len(lpart) >= 8 and len(gl_f) >= len(lpart) and \
-                (gl_f[-len(lpart):] != lpart).mean() <= 0.08
-            okr = len(rpart) >= 8 and len(gr_f) >= len(rpart) and \
-                (gr_f[:len(rpart)] != rpart).mean() <= 0.08
-            if okl and okr:
+            if _lflank_ok(k, 0.08, 8) and _rflank_ok(k, 0.08, 8):
                 return 300, 0
+    if (plan.perfect_flag == 1 and plan.gap.length <= 20
+            and gap_len == plan.perfect_len):
+        return 300, 0
 
     if r_min > l_max:
         return 0, 0
     left_cross = [k for k in range(P) if accept[k] and pos[k] < 0
                   and min(pos[k] + len(seqs[k]), gap_len) - 1 >= r_min
-                  and pos[k] + len(seqs[k]) <= gap_len]
-    right_cross = [k for k in range(P) if accept[k] and 0 < pos[k] <= l_max]
+                  and pos[k] + len(seqs[k]) <= gap_len][:1000]
+    right_cross = [(k, False) for k in range(P)
+                   if accept[k] and 0 < pos[k] <= l_max]
+    right_cross += [(k, True) for k in range(P)
+                    if accept[k] and pos[k] < 0
+                    and pos[k] + len(seqs[k]) > gap_len
+                    and matches[k] in (2, 3)]
+    right_cross = sorted(right_cross)[:1000]
     max_ov, false_flag = 0, 0
-    for i in left_cross[:64]:
-        for j in right_cross[:64]:
+    for i in left_cross:
+        for j, sm in right_cross:
             if i == j:
                 continue
             p1, l1 = int(pos[i]), len(seqs[i])
-            p2 = int(pos[j])
+            p2, l2 = int(pos[j]), len(seqs[j])
             dg = max(p1 + l1 - gap_len, 0)
             ov = (p1 + l1 - 1) - p2 + 1 - dg
             if ov < 5:
                 continue
-            cl = seqs[i][l1 - ov - dg : l1 - dg]
-            cr = seqs[j][:ov]
-            if len(cl) != len(cr) or len(cl) == 0:
+            if not (_lflank_ok(i, 0.2, 4) and _rflank_ok(j, 0.2, 4)):
                 continue
+            xabs = -p2 if sm else 0
+            cmp_len = ov - xabs
+            a1s = l1 - ov + xabs - dg
+            if cmp_len <= 0 or a1s < 0 or xabs + cmp_len > l2:
+                continue
+            cl = seqs[i][a1s : a1s + cmp_len]
+            cr = seqs[j][xabs : xabs + cmp_len]
             frac = (cl != cr).mean()
             if frac <= 0.1:
-                max_ov = max(max_ov, ov)
+                if cmp_len > max_ov:
+                    max_ov = cmp_len
+                    if saved_pair is not None:
+                        saved_pair[:] = [i, j]
             else:
                 false_flag = -1
     if (false_flag == 0 and max_ov >= 5) or (false_flag == -1 and max_ov >= 10):
         return max_ov, 0
     if false_flag == -1 or max_ov < 5:
+        if saved_pair is not None:
+            saved_pair[:] = [-1, -1]
         return 0, -1
     return 0, 0
 
@@ -787,6 +826,7 @@ def _build_gap_arrays(genome: Genome, plans_sub: list[GapPlan],
     RW = cfg.max_gap_len + L
     arr = dict(
         orig_gap=np.zeros(G, np.int32), gap_start=np.zeros(G, np.int32),
+        side_limit=np.zeros(G, np.int32),
         perfect_gap=np.zeros(G, np.int32), perfect_gaplen=np.zeros(G, np.int32),
         left_win=np.full((G, cfg.WL), 5, np.int8),
         right_win=np.full((G, RW), 5, np.int8),
@@ -809,6 +849,7 @@ def _build_gap_arrays(genome: Genome, plans_sub: list[GapPlan],
         contig = genome.contigs[g.contig]
         arr["orig_gap"][i] = g.length
         arr["gap_start"][i] = g.start
+        arr["side_limit"][i] = plan.side_limit
         arr["perfect_gap"][i] = plan.perfect_flag
         arr["perfect_gaplen"][i] = plan.perfect_len
         ls = max(g.start - cfg.WL, 0)
@@ -948,6 +989,7 @@ def fill_gaps(
             insert_tmin=int(model.insert_threshold_min),
             insert_tmax=int(model.insert_threshold_max),
             bonus_cap=pb if reference_exact else 24,
+            exact_soft=reference_exact,
         )
         # memory-capped instance batch: live bytes per instance scale with
         # read count x (read one-hots + two (P, Wp) weight mats); cap the

@@ -67,6 +67,13 @@ class FillConfig:
     # extreme reads realise the max overlap, so the cap is loss-free in
     # practice — reference_exact raises it to P)
     bonus_cap: int = 24
+    # double-range soft-count accumulation (see _accumulate_logw): the
+    # reference accumulates pow(10, lnP) soft weights in C double
+    # (Figbird.cpp:3179, 3601), representable down to ~1e-308; f32 underflows
+    # at ~1e-38, so gap-zone rows covered only by astronomically-unlikely
+    # placements get probs from different weight ratios and the EM feedback
+    # diverges.  reference_exact turns this on (5x accumulate cost).
+    exact_soft: bool = False
 
 
 ONEHOT4 = np.eye(5, 4, dtype=np.float32)
@@ -371,20 +378,62 @@ def _accumulate(weights, oh_count_cmajor, cfg):
     return _fold_counts_cmajor(cw, cfg.L, cfg.W)
 
 
+_CASCADE_SHIFT = 160.0  # nats (~69.5 decades); 5 levels span ~347 decades
+_CASCADE_LEVELS = 5
+
+
+def _accumulate_logw(logw, legal, oh_count_cmajor, cfg: FillConfig):
+    """Soft-count accumulation from natural-log weights with double range.
+
+    ``cfg.exact_soft=False``: plain f32 (weights below ~1e-38 vanish; the
+    fast production path).  ``True``: a 5-level scaled cascade — level k
+    accumulates exp(logw + k*160) with overflowing contributions zeroed,
+    and each output row takes the SHALLOWEST level whose row total is
+    normal-f32.  Downstream consumers (computeProbsGap normalisation,
+    consensus argmax, re-anchoring frequencies) are per-row scale-invariant,
+    so per-row mixed scaling reproduces the reference's C-double
+    ratios (pow(10, lnP) accumulation, Figbird.cpp:3179) down to 1e-308.
+    """
+    if not cfg.exact_soft:
+        w = jnp.where(legal, jnp.exp(jnp.maximum(logw, -700.0)), 0.0)
+        return _accumulate(w, oh_count_cmajor, cfg)
+    chosen = None
+    for k in reversed(range(_CASCADE_LEVELS)):
+        lk = logw + k * _CASCADE_SHIFT
+        wk = jnp.where(legal & (lk <= 80.0),
+                       jnp.exp(jnp.clip(lk, -745.0, 80.0)), 0.0)
+        ck = _accumulate(wk, oh_count_cmajor, cfg)
+        if chosen is None:
+            chosen = ck
+        else:
+            total = ck.sum(axis=-1, keepdims=True)
+            chosen = jnp.where(total > 1e-30, ck, chosen)
+    return chosen
+
+
 def _detect_overlap_partial(cfg, inst, accept, pos_gap, bonus_cap=None):
     if bonus_cap is None:
         bonus_cap = min(cfg.bonus_cap, cfg.P)
-    """detect_overlap_gapestimate (2513-2779), vectorised with capped pair sets.
+    """detect_overlap_gapestimate (2513-2779), vectorised.
 
     Returns (bonus_value, saved_left, saved_right) where bonus follows the
     reference decision: +300 perfect spanning read; +30*max_overlap verified
-    left x right read overlap; -100 false overlap.  Pair candidates are capped
-    at ``bonus_cap`` per side (the reference enumerates all pairs; the maximum
-    overlap is realised by extreme reads, which the cap retains).
+    left x right read overlap; -100 false overlap.
+
+    Faithful details: a pair only contributes (as good OR false) when BOTH
+    reads' flank fragments pass find_partial_match vs the gap flanks
+    (< 20% mismatch over min(|pos|, side_limit) chars, >= 4 chars,
+    2690-2700); gap-spanning match-2/3 reads join right_cross with shifted
+    common substrings (sm_flag, 2627-2633 / 2704-2722); the common strings
+    must come out equal-length (std::substr clamping semantics).  With
+    ``bonus_cap >= P`` (reference_exact) pairs enumerate in read order, so
+    the first-maximum saved pair matches the reference's scan order; the
+    capped production path keeps extreme reads per side.
     """
     pr, p_len, p_match, p_valid = (
         inst["pr"], inst["p_len"], inst["p_match"], inst["p_valid"])
     gl = inst["gap_len"]
+    sl = inst["side_limit"]
     P, L = pr.shape
     acc = accept & p_valid
 
@@ -396,71 +445,95 @@ def _detect_overlap_partial(cfg, inst, accept, pos_gap, bonus_cap=None):
     l_max = jnp.where(l_max == -(1 << 20), -1, l_max)
     r_min = jnp.where(r_min == 1 << 20, gl, r_min)
 
-    # ---- perfect spanning read (2604-2624): flank agreement <= 8% ------------
-    spans = acc & (pos_gap < 0) & (pos_gap + p_len > gl)
-    j = jnp.arange(L)[None, :]
-    # left flank part: read char j sits at gap coord pos_gap+j; flank coords < 0
-    gcoord = pos_gap[:, None] + j
-    tmpl = inst["tmpl"]
-    # per-read contiguous windows of tmpl: span-extract instead of a (P, L)
-    # element gather (minor-axis gathers are ~60x slower on TPU)
-    from ..align.core import _extract_span
+    from ..align.core import _extract_span, shift_left_batch
 
     rows_n = (cfg.W + 127) // 128 + 2
     tmpl2d = jnp.full((rows_n * 128,), jnp.int8(5)).at[: cfg.W].set(
-        tmpl).reshape(rows_n, 128)
-    wstart = jnp.clip(pos_gap + cfg.WL, 0, cfg.W - 1)
-    flank_char = _extract_span(tmpl2d, wstart, L)
-    # realign: _extract_span reads tmpl[wstart + j]; wcoord wants
-    # clip(gcoord + WL) which equals wstart + j except where the start was
-    # clipped — mask those columns out of both flank tests below
-    wcoord_ok = (gcoord + cfg.WL >= 0) & (gcoord + cfg.WL < cfg.W)
-    on_left = (gcoord < 0) & (gcoord >= -30) & (j < p_len[:, None]) & wcoord_ok
-    on_right = (gcoord >= gl) & (gcoord < gl + 30) & (j < p_len[:, None]) \
-        & wcoord_ok
-    mis_l = jnp.sum(on_left & (pr != flank_char), axis=1)
-    n_l = jnp.sum(on_left, axis=1)
-    mis_r = jnp.sum(on_right & (pr != flank_char), axis=1)
-    n_r = jnp.sum(on_right, axis=1)
-    ok_l = (n_l >= 8) & (mis_l <= 0.08 * n_l)
-    ok_r = (n_r >= 8) & (mis_r <= 0.08 * n_r)
-    perfect = jnp.any(spans & ok_l & ok_r)
+        inst["tmpl"]).reshape(rows_n, 128)
+    u = jnp.arange(L)[None, :]
 
-    # ---- left x right overlap verification (2647-2756) ----------------------
+    def _flank_frac(f, rch, tch, thresh):
+        """Pass mask for fragment compare over f chars (f >= min_len)."""
+        inwin = u < f[:, None]
+        mis = jnp.sum(inwin & (rch != tch), axis=1)
+        return mis <= thresh * f
+
+    # left-flank fragment per read (get_read_frag p<0): read chars at gap
+    # coords [-f, 0), f = min(-p, side_limit), vs the last f flank chars
+    f_l = jnp.minimum(jnp.maximum(-pos_gap, 0), sl)
+    rch_l = shift_left_batch(pr, jnp.clip(-f_l - pos_gap, 0, L), jnp.int8(-1))
+    tch_l = _extract_span(tmpl2d, jnp.clip(cfg.WL - f_l, 0, cfg.W - 1), L)
+    ok_l4 = (f_l >= 4) & _flank_frac(f_l, rch_l, tch_l, 0.2 - 1e-9)
+    ok_l8 = (f_l >= 8) & _flank_frac(f_l, rch_l, tch_l, 0.08)
+    # right-flank fragment (get_read_frag p>0 / sm): read chars from read
+    # coord gl - p, f = min(side_limit, len - (gl - p)), vs flank prefix
+    startr = gl - pos_gap
+    f_r = jnp.clip(jnp.minimum(sl, p_len - startr), 0, L)
+    rch_r = shift_left_batch(pr, jnp.clip(startr, 0, L), jnp.int8(-1))
+    tch_r = _extract_span(
+        tmpl2d, jnp.broadcast_to(jnp.clip(cfg.WL + gl, 0, cfg.W - 1), (P,)), L)
+    startr_ok = (startr >= 0) & (startr <= p_len)
+    ok_r4 = (f_r >= 4) & startr_ok & _flank_frac(f_r, rch_r, tch_r, 0.2 - 1e-9)
+    ok_r8 = (f_r >= 8) & startr_ok & _flank_frac(f_r, rch_r, tch_r, 0.08)
+
+    # ---- perfect spanning read (2604-2624) -------------------------------
+    spans = acc & (pos_gap < 0) & (pos_gap + p_len > gl)
+    perfect = jnp.any(spans & ok_l8 & ok_r8)
+
+    # ---- left x right overlap verification (2647-2756) -------------------
     lc = acc & (pos_gap < 0) & (reach >= r_min) & (pos_gap + p_len <= gl)
-    rc = acc & (pos_gap > 0) & (pos_gap <= l_max)
-    # cap: keep largest-reach left reads & smallest-start right reads
-    lkey = jnp.where(lc, reach, -(1 << 20))
-    rkey = jnp.where(rc, -start, -(1 << 20))
-    li = jnp.argsort(-lkey)[:bonus_cap]
-    ri = jnp.argsort(-rkey)[:bonus_cap]
-    lval = lc[li]
-    rval = rc[ri]
+    rc_n = acc & (pos_gap > 0) & (pos_gap <= l_max)
+    rc_sm = acc & (pos_gap < 0) & (pos_gap + p_len > gl) \
+        & ((p_match == 2) | (p_match == 3))
+    rc = rc_n | rc_sm
+    if bonus_cap >= P:
+        # read-order enumeration: ties in max_overlap break exactly like the
+        # reference's nested scan
+        li = jnp.arange(P)
+        ri = jnp.arange(P)
+        lval, rval = lc, rc
+    else:
+        lkey = jnp.where(lc, reach, -(1 << 20))
+        rkey = jnp.where(rc, -jnp.where(rc_sm, pos_gap + (1 << 10), start),
+                         -(1 << 20))
+        li = jnp.argsort(-lkey)[:bonus_cap]
+        ri = jnp.argsort(-rkey)[:bonus_cap]
+        lval = lc[li]
+        rval = rc[ri]
+    cap_l, cap_r = li.shape[0], ri.shape[0]
     p1 = pos_gap[li][:, None]
     l1 = p_len[li][:, None]
     p2 = pos_gap[ri][None, :]
-    diff_gap = jnp.maximum(p1 + l1 - gl, 0)
-    ov = (p1 + l1 - 1) - p2 + 1 - diff_gap  # (cap,cap)
-    pair_ok = lval[:, None] & rval[None, :] & (li[:, None] != ri[None, :]) & (ov >= 5)
+    l2 = p_len[ri][None, :]
+    sm2 = rc_sm[ri][None, :]
+    diff_gap = jnp.maximum(p1 + l1 - gl, 0)  # 0: left_cross has p1+l1 <= gl
+    ov = (p1 + l1 - 1) - p2 + 1 - diff_gap
+    pair_ok = lval[:, None] & rval[None, :] & (li[:, None] != ri[None, :]) \
+        & (ov >= 5)
 
-    # compare read1 suffix vs read2 prefix over the overlap region
-    # (2687-2701).  The suffix start is a per-(i,j) CONTIGUOUS offset, so the
-    # (cap,cap,L) element gather is a flattened static shift-select instead
-    # (minor-axis gathers are ~60x slower on TPU).
-    from ..align.core import shift_left_batch
+    # common substrings: non-sm  read1[l1-ov-dg : +ov] vs read2[0 : ov];
+    # sm (x=p2<0)  read1[l1-ov+|x| : +(ov-|x|)] vs read2[|x| : +(ov-|x|)]
+    xabs = jnp.where(sm2, -p2, 0)
+    cmp_len = ov - xabs
+    a1s = l1 - ov + xabs - diff_gap
+    a2s = xabs
+    len_ok = (cmp_len > 0) & (a1s >= 0) & (a2s + cmp_len <= l2)
+    flank_ok = ok_l4[li][:, None] & ok_r4[ri][None, :]
 
-    cap = li.shape[0]
     t = jnp.arange(L)[None, None, :]
-    len1 = p_len[li][:, None]
-    off1 = jnp.clip(len1 - ov - diff_gap, 0, L).reshape(-1)  # (cap*cap,)
-    r1rep = jnp.repeat(pr[li], cap, axis=0)                  # (cap*cap, L)
-    c1 = shift_left_batch(r1rep, off1, jnp.int8(-1)).reshape(cap, cap, L)
-    c2 = pr[ri][None, :, :]  # broadcasts over left index
-    inwin = t < ov[:, :, None]
+    r1rep = jnp.repeat(pr[li], cap_r, axis=0)                # (cl*cr, L)
+    c1 = shift_left_batch(r1rep, jnp.clip(a1s, 0, L).reshape(-1),
+                          jnp.int8(-1)).reshape(cap_l, cap_r, L)
+    r2rep = jnp.tile(pr[ri], (cap_l, 1))                     # (cl*cr, L)
+    c2 = shift_left_batch(r2rep, jnp.clip(jnp.broadcast_to(
+        a2s, (cap_l, cap_r)), 0, L).reshape(-1),
+        jnp.int8(-2)).reshape(cap_l, cap_r, L)
+    inwin = t < cmp_len[:, :, None]
     mism = jnp.sum(inwin & (c1 != c2), axis=2)
-    good = pair_ok & (mism <= 0.1 * jnp.maximum(ov, 1))
-    bad = pair_ok & (mism > 0.1 * jnp.maximum(ov, 1))
-    max_ov = jnp.max(jnp.where(good, ov, 0))
+    cand = pair_ok & flank_ok & len_ok
+    good = cand & (mism <= 0.1 * jnp.maximum(cmp_len, 1))
+    bad = cand & (mism > 0.1 * jnp.maximum(cmp_len, 1))
+    max_ov = jnp.max(jnp.where(good, cmp_len, 0))
     any_false = jnp.any(bad)
 
     bonus = jnp.where(
@@ -474,8 +547,9 @@ def _detect_overlap_partial(cfg, inst, accept, pos_gap, bonus_cap=None):
             jnp.where((r_min <= l_max) & (any_false | (max_ov < 5)), -100.0, 0.0),
         ),
     )
-    # saved pair (kept through finalize acceptance, 5345)
-    gi, gj = jnp.unravel_index(jnp.argmax(jnp.where(good, ov, -1)), good.shape)
+    # saved pair: FIRST strict maximum in scan order (if(len1 > max_overlap))
+    gi, gj = jnp.unravel_index(jnp.argmax(jnp.where(good, cmp_len, -1)),
+                               good.shape)
     has = jnp.any(good)
     saved_l = jnp.where(has, li[gi], -1)
     saved_r = jnp.where(has, ri[gj], -1)
@@ -693,8 +767,7 @@ def _place_partial(cfg, inst, model, probs, eprobs, track_orig):
     K = _soft_K(probs, eprobs, model["e_fwd"], cfg.W)
     lnP = _score(oh_score, K, cfg.Wp)
     lnP = jnp.where(legal, lnP, NEG)
-    w_soft = jnp.where(legal, jnp.exp(jnp.maximum(LN10 * lnP, -700.0)), 0.0)
-    soft = _accumulate(w_soft, oh_count, cfg)
+    soft = _accumulate_logw(LN10 * lnP, legal, oh_count, cfg)
     counts = jnp.where(gap_zone[:, None], soft, _counts_flank(inst, cfg))
 
     mx = jnp.max(lnP, axis=1)
@@ -768,8 +841,7 @@ def _place_unmapped(cfg, inst, model, probs, eprobs, finalize_flag: bool):
     rev = (inst["u_rev"] == 1)[:, None]
     lnP = jnp.where(rev, ln_r, ln_f) + prior
     lnP = jnp.where(legal, lnP, NEG)
-    w_soft = jnp.where(legal, jnp.exp(jnp.maximum(0.5 * lnP / LN10, -700.0)), 0.0)
-    soft = _accumulate(w_soft, oh_cnt, cfg)
+    soft = _accumulate_logw(0.5 * lnP / LN10, legal, oh_cnt, cfg)
     counts = jnp.where(gap_zone[:, None], soft, _counts_flank(inst, cfg))
 
     mx10 = jnp.max(lnP, axis=1) / LN10

@@ -461,19 +461,21 @@ class Triage:
                                           rl_v)
             keep = gi_left >= 0
             if self.use_right_clipped:
-                cs_v = np.asarray(pt.clip_start)[sel, m]
+                # checkPos2's right clause (Preprocess.cpp:616-639): SAM pos
+                # (1-based) > gapEnd, a leading clip del>0, and
+                # pos - del <= gapEnd — i.e. gapEnd in [pos0-del+1, pos0]
+                # (0-based pos0 = pos-1).  Take the FIRST such gap.
+                cs_v = np.asarray(pt.clip_start)[sel, m].astype(np.int64)
                 pos0 = pos_v[sel, m] - 1
-                key = contig_v[sel, m].astype(np.int64) * self._BIG + pos0
+                ckey = contig_v[sel, m].astype(np.int64) * self._BIG
                 ng = len(self._ge_key)
-                i1 = np.searchsorted(self._ge_key, key, side="right") - 1
-                i1c = np.clip(i1, 0, max(ng - 1, 0))
-                ge = self._ge_key[i1c] - contig_v[sel, m].astype(np.int64) \
-                    * self._BIG
-                okr = (ng > 0) & (i1 >= 0) & \
-                      (self._ge_key[i1c] // self._BIG == contig_v[sel, m]) & \
-                      (ge <= pos0) & (pos0 <= ge + 3) & (pos0 - cs_v <= ge) & \
-                      (cs_v >= 3)
-                gi_right = np.where(okr, i1c, -1)
+                lo_key = ckey + pos0 - cs_v + 1
+                i_lo = np.searchsorted(self._ge_key, lo_key, side="left")
+                i_loc = np.clip(i_lo, 0, max(ng - 1, 0))
+                okr = (ng > 0) & (cs_v > 0) & (i_lo < ng) & \
+                      (self._ge_key[i_loc] <= ckey + pos0) & \
+                      (self._ge_key[i_loc] // self._BIG == contig_v[sel, m])
+                gi_right = np.where(okr, i_loc, -1)
                 keep = keep | (gi_right >= 0)
             else:
                 gi_right = np.full(len(sel), -1)
@@ -503,6 +505,10 @@ class Triage:
                 qerr = phred_to_error_prob(q)
             else:
                 qerr = None
+            # checkPos2 returns the FIRST gap satisfying either clause, so
+            # when both match, the smaller gap index wins
+            if gi >= 0 and gi2 >= 0 and gi2 < gi:
+                gi = -1
             if gi >= 0:
                 g = self.gaps[gi]
                 a_m = aligns[m]
