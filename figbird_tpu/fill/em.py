@@ -254,6 +254,75 @@ def consensus_from_counts(counts, gap_zone, check, cov_thresh):
     return jnp.where(gap_zone, cons, 4), mx
 
 
+def partial_stack_full(pr, p_clip, p_match, p_len, p_valid, L: int):
+    """Gap-length-independent half of :func:`partial_stack_probs`.
+
+    The per-read inclusion masks factor as (t < base_r) & (t < gap_len):
+    the first is gap-length-independent, the second is a whole-column cut.
+    Summing the first part once PER GAP and applying the column cut per
+    candidate length removes the stack build (~30%% of a scan dispatch)
+    from the per-instance path, bit-exactly (masked-out elements are exact
+    f32 zeros).  Returns (cntL (L,4), cntR_rev (L,4), base_max, clip_max).
+    """
+    from ..align.core import shift_left_batch
+
+    P, Lr = pr.shape
+    t = jnp.arange(L)[None, :]
+
+    def _counts4(mask, ch):
+        return jnp.stack(
+            [jnp.sum(jnp.where(mask & ((ch == c) | (ch == 4)), 1.0, 0.0),
+                     axis=0) for c in range(4)], axis=1)
+
+    left = (p_match == 1) | (p_match == 4)
+    base = p_len - p_clip - 1  # left reach (chars into the gap)
+    ch_l = shift_left_batch(pr, jnp.clip(p_clip + 1, 0, Lr), jnp.int8(4))[:, :L]
+    m_l = (t < base[:, None]) & left[:, None] & p_valid[:, None]
+    cntL = _counts4(m_l, ch_l)
+
+    right = (p_match == 2) | (p_match == 3)
+    ch_r = shift_left_batch(pr[:, ::-1], jnp.clip(Lr - p_clip, 0, Lr),
+                            jnp.int8(4))[:, :L]
+    m_r = (t < p_clip[:, None]) & right[:, None] & p_valid[:, None]
+    cntR_rev = _counts4(m_r, ch_r)
+
+    base_max = jnp.max(jnp.where(left & p_valid, base, -(1 << 20)))
+    clip_max = jnp.max(jnp.where(right & p_valid, p_clip, -(1 << 20)))
+    return cntL, cntR_rev, base_max, clip_max
+
+
+def partial_stack_from_full(cntL, cntR_rev, base_max, clip_max,
+                            max_gap_len: int, gap_len):
+    """Apply one candidate gap length to the precomputed stack halves.
+
+    Equivalent to :func:`partial_stack_probs` (same return contract)."""
+    L = cntL.shape[0]
+    G1 = min(L, max_gap_len)
+    t1 = jnp.arange(G1)[:, None]
+
+    def _padG(x):
+        if G1 == max_gap_len:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((max_gap_len - G1, 4), x.dtype)], axis=0)
+
+    cnt_l = _padG(jnp.where(t1 < gap_len, cntL[:G1], 0.0))
+    cnt_r_rev = _padG(jnp.where(t1 < gap_len, cntR_rev[:G1], 0.0))
+    rev = jnp.concatenate([cnt_r_rev[::-1, :],
+                           jnp.zeros_like(cnt_r_rev)], axis=0)
+    off = jnp.clip(max_gap_len - gap_len, 0, max_gap_len)
+    cnt_r = jax.lax.dynamic_slice(rev, (off, jnp.int32(0)),
+                                  (max_gap_len, 4))
+    counts4 = 1.0 + cnt_l + cnt_r
+    # left_max = max_r (min(base_r, gap_len) - 1) = min(max base, gl) - 1;
+    # right_min = min_r (gl - min(clip_r, gl)) = gl - min(max clip, gl)
+    left_max = jnp.where(base_max == -(1 << 20), -(1 << 20),
+                         jnp.minimum(base_max, gap_len) - 1)
+    right_min = jnp.where(clip_max == -(1 << 20), 1 << 20,
+                          gap_len - jnp.minimum(clip_max, gap_len))
+    return counts4, left_max, right_min
+
+
 def partial_stack_probs(pr, p_clip, p_match, p_len, p_valid, max_gap_len, gap_len):
     """update_partial_prob (1913-2088): stack partial reads at clip points.
 
@@ -378,8 +447,17 @@ def _accumulate(weights, oh_count_cmajor, cfg):
     return _fold_counts_cmajor(cw, cfg.L, cfg.W)
 
 
-_CASCADE_SHIFT = 160.0  # nats (~69.5 decades); 5 levels span ~347 decades
-_CASCADE_LEVELS = 5
+# Cascade constants.  Invariant: a row NOT selected at level k (total_k <=
+# TAU = e^(CUT-SHIFT)) has every contribution below e^(CUT-SHIFT), so level
+# k+1's overflow zeroing (logw + (k+1)*SHIFT > CUT  <=>  logw > CUT-SHIFT at
+# level k's scale) never drops a contribution of a level-(k+1)-selected row.
+# CUT=78 keeps level sums below f32 max (e^78 * 3000 reads ~ 2e37); 6 levels
+# of 140 nats span ~927 nats, past the 745-nat SUBNORMAL double underflow
+# point (pow(10, tempProb) in the reference returns denormals to 4.9e-324).
+_CASCADE_SHIFT = 140.0
+_CASCADE_CUT = 78.0
+_CASCADE_TAU = float(np.exp(_CASCADE_CUT - _CASCADE_SHIFT))  # e^-62
+_CASCADE_LEVELS = 6
 
 
 def _accumulate_logw(logw, legal, oh_count_cmajor, cfg: FillConfig):
@@ -387,12 +465,13 @@ def _accumulate_logw(logw, legal, oh_count_cmajor, cfg: FillConfig):
 
     ``cfg.exact_soft=False``: plain f32 (weights below ~1e-38 vanish; the
     fast production path).  ``True``: a 5-level scaled cascade — level k
-    accumulates exp(logw + k*160) with overflowing contributions zeroed,
-    and each output row takes the SHALLOWEST level whose row total is
-    normal-f32.  Downstream consumers (computeProbsGap normalisation,
-    consensus argmax, re-anchoring frequencies) are per-row scale-invariant,
-    so per-row mixed scaling reproduces the reference's C-double
-    ratios (pow(10, lnP) accumulation, Figbird.cpp:3179) down to 1e-308.
+    accumulates exp(logw + k*SHIFT) with overflowing contributions zeroed,
+    and each output row takes the SHALLOWEST level whose row total exceeds
+    TAU (see invariant above).  Downstream consumers (computeProbsGap
+    normalisation, consensus argmax, re-anchoring frequencies) are per-row
+    scale-invariant, so per-row mixed scaling reproduces the reference's
+    C-double ratios (pow(10, lnP) accumulation, Figbird.cpp:3179) down to
+    1e-308.
     """
     if not cfg.exact_soft:
         w = jnp.where(legal, jnp.exp(jnp.maximum(logw, -700.0)), 0.0)
@@ -400,14 +479,14 @@ def _accumulate_logw(logw, legal, oh_count_cmajor, cfg: FillConfig):
     chosen = None
     for k in reversed(range(_CASCADE_LEVELS)):
         lk = logw + k * _CASCADE_SHIFT
-        wk = jnp.where(legal & (lk <= 80.0),
-                       jnp.exp(jnp.clip(lk, -745.0, 80.0)), 0.0)
+        wk = jnp.where(legal & (lk <= _CASCADE_CUT),
+                       jnp.exp(jnp.clip(lk, -745.0, _CASCADE_CUT)), 0.0)
         ck = _accumulate(wk, oh_count_cmajor, cfg)
         if chosen is None:
             chosen = ck
         else:
             total = ck.sum(axis=-1, keepdims=True)
-            chosen = jnp.where(total > 1e-30, ck, chosen)
+            chosen = jnp.where(total > _CASCADE_TAU, ck, chosen)
     return chosen
 
 
@@ -737,6 +816,18 @@ def _update_reanchor(cfg: FillConfig, inst, counts, gc, accept, has_place,
 # per-instance EM (vmapped over the instance axis by fill_batch)
 # ===========================================================================
 
+def _stack_for(inst, cfg: FillConfig):
+    """Partial-stack init: from per-gap precomputed halves when present
+    (gathered path; ~30%% of a scan dispatch saved), else inline."""
+    if "stackL" in inst:
+        return partial_stack_from_full(
+            inst["stackL"], inst["stackR"], inst["stack_base_max"],
+            inst["stack_clip_max"], cfg.max_gap_len, inst["gap_len"])
+    return partial_stack_probs(
+        inst["pr"], inst["p_clip"], inst["p_match"], inst["p_len"],
+        inst["p_valid"], cfg.max_gap_len, inst["gap_len"])
+
+
 def _counts_flank(inst, cfg):
     """initialize (2298-2383): flank one-hots outside the gap zone."""
     tmpl = inst["tmpl"]
@@ -797,9 +888,7 @@ def em_partial_instance(cfg: FillConfig, inst, model):
     counts0 = counts0.at[:, 4].add(ncol)
     probs = compute_probs_gap(counts0)
     # partial-stack initialisation (update_partial_prob via computeProbsGap(1))
-    st4, left_max, right_min = partial_stack_probs(
-        inst["pr"], inst["p_clip"], inst["p_match"], inst["p_len"],
-        inst["p_valid"], cfg.max_gap_len, inst["gap_len"])
+    st4, left_max, right_min = _stack_for(inst, cfg)
     tot = st4.sum(axis=1, keepdims=True)
     stp = jnp.concatenate([st4 / tot, jnp.zeros_like(tot)], axis=1)  # (maxG,5)
     stp_w = jnp.zeros((cfg.W, 5)).at[cfg.WL : cfg.WL + cfg.max_gap_len].set(stp)
@@ -927,9 +1016,7 @@ def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool,
     counts0 = counts0.at[:, 4].add(jnp.where(gap_zone, 1.0, 0.0))
     probs0 = compute_probs_gap(counts0)
     # partial-stack init runs in unmapped mode too (computeProbsGap(1) at init)
-    st4, left_max, _right_min = partial_stack_probs(
-        inst["pr"], inst["p_clip"], inst["p_match"], inst["p_len"],
-        inst["p_valid"], cfg.max_gap_len, inst["gap_len"])
+    st4, left_max, _right_min = _stack_for(inst, cfg)
     pl_major = jnp.argmax(st4, axis=1).astype(jnp.int8)  # partial_left chars
     tot = st4.sum(axis=1, keepdims=True)
     stp = jnp.concatenate([st4 / tot, jnp.zeros_like(tot)], axis=1)
