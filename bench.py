@@ -141,18 +141,32 @@ def main():
 
     exact_rps = None
     outputs_equal = None
+    outputs_equal_precision = None
     if run_exact:
-        print("# reference-exact trial (uncapped scans)", file=sys.stderr)
-        wall_e, pipe_e = one_iteration(
-            fill_kwargs={"reference_exact": True})
-        exact_rps = round(n_reads / wall_e, 1)
         capped_strings = pipe.result.gap_history[0][1]
+        # cap isolation: same f32 precision, scan cap OFF
+        print("# uncapped-scan trial (cap isolation)", file=sys.stderr)
+        wall_e, pipe_e = one_iteration(
+            fill_kwargs={"max_scan_lengths": 0})
+        exact_rps = round(n_reads / wall_e, 1)
         exact_strings = pipe_e.result.gap_history[0][1]
         outputs_equal = _strings_equal(capped_strings, exact_strings)
         n_diff = sum(1 for x, y in zip(capped_strings, exact_strings)
                      if not np.array_equal(x, y))
-        print(f"# capped-vs-exact gap strings: "
+        print(f"# capped-vs-uncapped gap strings: "
               f"{len(capped_strings) - n_diff}/{len(capped_strings)} equal",
+              file=sys.stderr)
+        # precision isolation: caps ON, double-range soft counts ON
+        # (the golden-parity configuration's precision mode; see PARITY.md)
+        print("# exact-soft trial (precision isolation)", file=sys.stderr)
+        wall_p, pipe_p = one_iteration(fill_kwargs={"exact_soft": True})
+        precise_strings = pipe_p.result.gap_history[0][1]
+        outputs_equal_precision = _strings_equal(capped_strings,
+                                                 precise_strings)
+        n_diff_p = sum(1 for x, y in zip(capped_strings, precise_strings)
+                       if not np.array_equal(x, y))
+        print(f"# fast-vs-exact-soft gap strings: "
+              f"{len(capped_strings) - n_diff_p}/{len(capped_strings)} equal",
               file=sys.stderr)
 
     print(json.dumps({
@@ -167,6 +181,7 @@ def main():
         "capped_rps": round(reads_per_sec, 1),
         "exact_rps": exact_rps,
         "outputs_equal": outputs_equal,
+        "outputs_equal_precision": outputs_equal_precision,
     }))
 
 

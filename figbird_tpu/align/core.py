@@ -329,23 +329,76 @@ PACK_KEYS = ("score", "n_mis", "pos", "cand_i", "hit_overflow", "strand",
              "second", "aligned", "unique", "alen", "clip_start", "clip_end")
 
 
-def _pack_out(out: dict) -> jnp.ndarray:
-    """Stack the per-read outputs into one (B, 12) int32 matrix — a D2H
-    array costs a large fixed latency on tunnel-attached TPUs, so fetching
-    one matrix instead of 12 arrays per batch wins big."""
-    return jnp.stack([out[k].astype(jnp.int32) for k in PACK_KEYS], axis=1)
+def _pack_out(out: dict, read_len: int = 0) -> jnp.ndarray:
+    """Bit-pack the 12 per-read outputs into one (B, 4) int32 matrix.
+
+    D2H bandwidth over the tunnel costs ~25 ms/MB on top of a fixed
+    latency, and the pass-1 packed fetch is the align stage's largest
+    transfer (455k reads x 12 int32 = 22 MB) — 4 words cut it to 7 MB.
+
+      w0: pos (full int32)
+      w1: score(i16) << 16 | second(i16)   (both clamped; the NEG sentinel
+          becomes -32768 — every comparison consumer still orders right)
+      w2: n_mis(u8) | cand_i(u8)<<8 | flags(u8)<<16
+          (flags: bit0 hit_overflow, 1 aligned, 2 unique, 3 strand)
+      w3: alen(u16) | clip_start(u8)<<16 | clip_end(u8)<<24
+
+    Requires read length <= 255 (clips/n_mis in u8); longer reads fall back
+    to the wide 12-word layout (static branch on shape).
+    """
+    if read_len > 255:
+        return jnp.stack([out[k].astype(jnp.int32) for k in PACK_KEYS],
+                         axis=1)
+
+    def u8(x):
+        return jnp.clip(x.astype(jnp.int32), 0, 255)
+
+    def i16(x):
+        return jnp.clip(x.astype(jnp.int32), -32768, 32767) & 0xFFFF
+
+    w0 = out["pos"].astype(jnp.int32)
+    w1 = (i16(out["score"]) << 16) | i16(out["second"])
+    flags = (out["hit_overflow"].astype(jnp.int32)
+             | (out["aligned"].astype(jnp.int32) << 1)
+             | (out["unique"].astype(jnp.int32) << 2)
+             | (out["strand"].astype(jnp.int32) << 3))
+    w2 = u8(out["n_mis"]) | (u8(out["cand_i"]) << 8) | (flags << 16)
+    w3 = (jnp.clip(out["alen"].astype(jnp.int32), 0, 65535)
+          | (u8(out["clip_start"]) << 16) | (u8(out["clip_end"]) << 24))
+    return jnp.stack([w0, w1, w2, w3], axis=1)
 
 
 def unpack_out(packed: np.ndarray) -> dict:
-    out = {}
-    for i, k in enumerate(PACK_KEYS):
-        v = packed[:, i]
-        if k in ("hit_overflow", "aligned", "unique"):
-            v = v.astype(bool)
-        elif k == "strand":
-            v = v.astype(np.int8)
-        out[k] = v
-    return out
+    if packed.shape[1] != 4:  # wide fallback layout
+        out = {}
+        for i, k in enumerate(PACK_KEYS):
+            v = packed[:, i]
+            if k in ("hit_overflow", "aligned", "unique"):
+                v = v.astype(bool)
+            elif k == "strand":
+                v = v.astype(np.int8)
+            out[k] = v
+        return out
+    pu = packed.astype(np.uint32)
+
+    def s16(v):
+        return ((v & 0xFFFF).astype(np.int32) ^ 0x8000) - 0x8000
+
+    flags = (pu[:, 2] >> 16) & 0xFF
+    return dict(
+        pos=packed[:, 0].astype(np.int32),
+        score=s16(pu[:, 1] >> 16),
+        second=s16(pu[:, 1]),
+        n_mis=(pu[:, 2] & 0xFF).astype(np.int32),
+        cand_i=((pu[:, 2] >> 8) & 0xFF).astype(np.int32),
+        hit_overflow=(flags & 1).astype(bool),
+        aligned=(flags & 2).astype(bool),
+        unique=(flags & 4).astype(bool),
+        strand=((flags >> 3) & 1).astype(np.int8),
+        alen=(pu[:, 3] & 0xFFFF).astype(np.int32),
+        clip_start=((pu[:, 3] >> 16) & 0xFF).astype(np.int32),
+        clip_end=((pu[:, 3] >> 24) & 0xFF).astype(np.int32),
+    )
 
 
 def as_rows(flat: np.ndarray | jnp.ndarray, fill=None) -> np.ndarray:
@@ -408,7 +461,7 @@ def align_batch_device(flat2d, flatlen, tables, reads,
         out["alen"] = lengths
         out["clip_start"] = jnp.zeros_like(lengths)
         out["clip_end"] = jnp.zeros_like(lengths)
-        out["packed"] = _pack_out(out)
+        out["packed"] = _pack_out(out, reads.shape[1])
         return out
     min_score = (params.min_score_const +
                  params.min_score_log * jnp.log(jnp.maximum(lengths, 2).astype(jnp.float32)))
@@ -417,7 +470,7 @@ def align_batch_device(flat2d, flatlen, tables, reads,
     out["alen"] = end - start + 1
     out["clip_start"] = start
     out["clip_end"] = jnp.maximum(lengths - 1 - end, 0)
-    out["packed"] = _pack_out(out)
+    out["packed"] = _pack_out(out, reads.shape[1])
     return out
 
 
@@ -571,27 +624,31 @@ class Aligner:
 
     def _dispatch_pass(self, seq, lengths, params):
         """Queue all batches asynchronously; no sync.  Returns (device result
-        dicts, (chunk, lens) device handles)."""
+        dicts, (chunk, lens) device handles).
+
+        The whole read set uploads as ONE H2D transfer per pass (padded to a
+        batch multiple) and per-batch chunks are device-side slices — 14
+        small per-chunk uploads serialised measurably on the tunnel."""
         n, L = seq.shape
         bs = self.batch_size
+        n_pad = -(-max(n, 1) // bs) * bs
+        if n_pad != n:
+            seq = np.concatenate(
+                [seq, np.full((n_pad - n, L), GAP_CODE, dtype=np.int8)])
+            lengths = np.concatenate(
+                [lengths, np.zeros(n_pad - n, dtype=lengths.dtype)])
+        dev_all = jnp.asarray(seq)
+        lens_all = jnp.asarray(lengths.astype(np.int32))
+        if self._shd is not None:
+            import jax as _jax
+
+            dev_all = _jax.device_put(dev_all, self._shd)
+            lens_all = _jax.device_put(lens_all, self._shd)
         outs: list[dict] = []
         handle = []
-        for i in range(0, n, bs):
-            chunk = seq[i : i + bs]
-            lens = lengths[i : i + bs]
-            if len(chunk) < bs:
-                padn = bs - len(chunk)
-                chunk = np.concatenate(
-                    [chunk, np.full((padn, L), GAP_CODE, dtype=np.int8)]
-                )
-                lens = np.concatenate([lens, np.zeros(padn, dtype=lens.dtype)])
-            dev_chunk = jnp.asarray(chunk)
-            dev_lens = jnp.asarray(lens.astype(np.int32))
-            if self._shd is not None:
-                import jax as _jax
-
-                dev_chunk = _jax.device_put(dev_chunk, self._shd)
-                dev_lens = _jax.device_put(dev_lens, self._shd)
+        for i in range(0, n_pad, bs):
+            dev_chunk = jax.lax.slice_in_dim(dev_all, i, i + bs, axis=0)
+            dev_lens = jax.lax.slice_in_dim(lens_all, i, i + bs, axis=0)
             handle.append((dev_chunk, dev_lens))
             if self._genome_sharded:
                 res = self._gshard_fn(params)(
@@ -721,12 +778,14 @@ class Aligner:
         return outs
 
     # ------------------------------------------------------------------
-    def _stats_dispatch(self, fn, handle, per_read_args, extra=()):
+    def _stats_dispatch(self, fn, handle, per_read_args, extra=(),
+                        fetch: bool = True):
         """Run a per-batch jitted stats pass over retained device chunks.
 
         ``per_read_args``: host (n,) arrays sliced/padded per batch and
-        uploaded (small).  Returns the list of per-batch device outputs
-        fetched with one device_get.
+        uploaded (small).  Returns the per-batch outputs fetched with one
+        device_get, or (``fetch=False``) the device arrays so several
+        passes can share a single fetch (see ``model_stats_pair``).
         """
         import jax as _jax
 
@@ -747,11 +806,41 @@ class Aligner:
             args_d = [d[:, j].astype(per_read_args[j].dtype)
                       for j in range(n_args)]
             outs.append(fn(self._flat2d, dev_chunk, dev_lens, *args_d, *extra))
-        if len(outs) > 1:  # one transfer for the whole pass
+        if len(outs) > 1:  # one array for the whole pass
             outs = [jnp.concatenate([o.reshape(-1) for o in outs])
                     if outs[0].ndim == 1 else jnp.concatenate(outs, axis=0)]
-            return [_jax.device_get(outs[0])]
+        if not fetch:
+            return outs
         return _jax.device_get(outs)
+
+    def model_stats_pair(self, jobs):
+        """Device sufficient statistics for BOTH mates with ONE fetch.
+
+        ``jobs``: list of (handle, pos, strand, mask, clip_s, clip_e).
+        Returns a list of unpacked stat dicts (see ``model_stats``); every
+        D2H round trip costs a fixed tunnel latency, so the two mates'
+        passes share one.
+        """
+        from ..model.device_stats import stats_batch, unpack_stats
+
+        devs = []
+        for handle, pos, strand, mask, clip_s, clip_e in jobs:
+            devs.append(self._stats_dispatch(
+                stats_batch, handle,
+                (pos.astype(np.int32), strand.astype(np.int8),
+                 mask.astype(bool), clip_s.astype(np.int32),
+                 clip_e.astype(np.int32)), fetch=False))
+        import jax as _jax
+
+        hosts = _jax.device_get(devs)
+        outs = []
+        for (handle, *_), hostlist in zip(jobs, hosts):
+            L = int(handle[0][0].shape[-1])
+            vecs = np.concatenate([np.asarray(x).reshape(-1)
+                                   for x in hostlist])
+            total = vecs.reshape(-1, L + 31).sum(axis=0)
+            outs.append(unpack_stats(total, L))
+        return outs
 
     def model_stats(self, handle, pos, strand, mask, clip_s=None, clip_e=None):
         """Device sufficient statistics over masked rows (see device_stats).

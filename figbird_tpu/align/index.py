@@ -241,4 +241,7 @@ def build_device_tables(flat: np.ndarray, k: int, prefix_bases: int):
         codes2d=as_rows_dev(scodes, 0),
         pos2d=as_rows_dev(spos, 0),
     )
-    return tables, int(n_valid)
+    # n_valid stays a DEVICE scalar: int() here would synchronise on the
+    # whole sort pipeline (~0.5 s on a tunnel-attached chip) that callers
+    # otherwise overlap with the first align batches
+    return tables, n_valid

@@ -885,13 +885,11 @@ def _build_gap_arrays(genome: Genome, plans_sub: list[GapPlan],
     # per-gap partial-stack halves, computed once per bucket on device
     # (em.partial_stack_full): removes the stack build from every scan
     # instance (~30% of a dispatch), bit-exactly
-    from .em import partial_stack_full
+    from .em import partial_stack_full_batch
 
-    sl_, sr_, bm_, cm_ = jax.jit(jax.vmap(
-        lambda pr, pc, pm, pl, pv: partial_stack_full(pr, pc, pm, pl, pv,
-                                                      cfg.L)))(
+    sl_, sr_, bm_, cm_ = partial_stack_full_batch(
         out["pr"], out["p_clip"], out["p_match"], out["p_len"],
-        out["p_valid"])
+        out["p_valid"], cfg.L)
     out["stackL"], out["stackR"] = sl_, sr_
     out["stack_base_max"], out["stack_clip_max"] = bm_, cm_
     return out
@@ -920,17 +918,27 @@ def fill_gaps(
     scan_block: int = 64,
     mesh=None,
     reference_exact: bool = False,
+    exact_soft: bool | None = None,
 ) -> FillResult:
     """Fill all gaps for one iteration (one FillGaps.cpp run equivalent).
 
     ``reference_exact=True`` disables every throughput cap that could diverge
     from the reference's exhaustive behaviour: the candidate-length scan cap
-    (``max_scan_lengths``) and the overlap-bonus pair cap — used by the
-    golden parity tests.
+    (``max_scan_lengths``), the overlap-bonus pair cap, and f32 soft-count
+    underflow (``exact_soft`` cascade) — used by the golden parity tests.
+    ``exact_soft`` alone can be forced on/off to isolate the precision mode
+    (bench.py's cap-vs-precision attribution).
     """
+    if exact_soft is None:
+        exact_soft = reference_exact
     if reference_exact:
         max_scan_lengths = 0
         em_iters_unmapped = 200  # reference num_itr (Figbird.cpp:6225)
+    elif max_scan_lengths:
+        # capped scans rarely early-exit (stride sampling breaks the
+        # |dlik|<=0.9 plateau runs), so block-lazy waves just pay extra
+        # tunnel syncs — dispatch every capped candidate in ONE wave
+        scan_block = max(scan_block, max_scan_lengths)
     if instance_batch is None:
         # tunnel-attached TPUs are dispatch-latency-bound: big batches;
         # CPU (tests) pays padded compute for real: small batches
@@ -1002,7 +1010,7 @@ def fill_gaps(
             insert_tmin=int(model.insert_threshold_min),
             insert_tmax=int(model.insert_threshold_max),
             bonus_cap=pb if reference_exact else 24,
-            exact_soft=reference_exact,
+            exact_soft=exact_soft,
         )
         # memory-capped instance batch: live bytes per instance scale with
         # read count x (read one-hots + two (P, Wp) weight mats); cap the

@@ -291,6 +291,14 @@ def partial_stack_full(pr, p_clip, p_match, p_len, p_valid, L: int):
     return cntL, cntR_rev, base_max, clip_max
 
 
+@functools.partial(jax.jit, static_argnames=("L",))
+def partial_stack_full_batch(pr, p_clip, p_match, p_len, p_valid, L: int):
+    """vmapped :func:`partial_stack_full` (module-level jit: re-wrapping at
+    every fill call would retrace per call)."""
+    return jax.vmap(lambda a, b, c, d, e: partial_stack_full(a, b, c, d, e, L)
+                    )(pr, p_clip, p_match, p_len, p_valid)
+
+
 def partial_stack_from_full(cntL, cntR_rev, base_max, clip_max,
                             max_gap_len: int, gap_len):
     """Apply one candidate gap length to the precomputed stack halves.

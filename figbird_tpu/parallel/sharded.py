@@ -197,7 +197,7 @@ def make_genome_sharded_align(mesh: Mesh, k: int, params):
         res["unique"] = res["aligned"] & (res["score"] > res["second"])
         from ..align.core import _pack_out
 
-        res["packed"] = _pack_out(res)
+        res["packed"] = _pack_out(res, reads.shape[1])
         # post-all-gather values are genome-replicated, but shard_map cannot
         # infer that statically — make it provable with an explicit psum of
         # the rank-0 copy

@@ -203,12 +203,16 @@ def _learn_model_device(idx, pt, a1, a2, r1, r2, contig_lengths, partial_flag,
         minlength=st.max_insert_size)[: st.max_insert_size]
 
     zero = np.zeros(len(m), bool)
+    # both mates' device stats dispatch together and share one D2H fetch
+    jobs = []
     for a, rb in ((a1, r1), (a2, r2)):
         indel = np.asarray(a.get("indel", zero))
+        jobs.append((a["stats_handle"], a["pos"], a["strand"], m & ~indel,
+                     a["clip_start"], a["clip_end"]))
+    dsums = aligner.model_stats_pair(jobs)
+    for (a, rb), dsum in zip(((a1, r1), (a2, r2)), dsums):
+        indel = np.asarray(a.get("indel", zero))
         dev_mask = m & ~indel
-        dsum = aligner.model_stats(a["stats_handle"], a["pos"], a["strand"],
-                                   dev_mask, clip_s=a["clip_start"],
-                                   clip_e=a["clip_end"])
         L = rb.seq.shape[1]
         st.error_pos[:L] += np.asarray(dsum["error_pos"], np.int64)[:L]
         st.error_types += np.asarray(dsum["error_types"], np.int64)
