@@ -362,6 +362,11 @@ def _pack_out(out: dict, read_len: int = 0) -> jnp.ndarray:
              | (out["aligned"].astype(jnp.int32) << 1)
              | (out["unique"].astype(jnp.int32) << 2)
              | (out["strand"].astype(jnp.int32) << 3))
+    # contig-sharded aligners carry the winning shard id (pos is LOCAL to
+    # that shard; hosts globalize with the int64 shard bases)
+    shard = out.get("shard")
+    if shard is not None:
+        flags = flags | (u8(shard) << 8)  # flags byte uses 4 bits; shard 4+
     w2 = u8(out["n_mis"]) | (u8(out["cand_i"]) << 8) | (flags << 16)
     w3 = (jnp.clip(out["alen"].astype(jnp.int32), 0, 65535)
           | (u8(out["clip_start"]) << 16) | (u8(out["clip_end"]) << 24))
@@ -386,6 +391,7 @@ def unpack_out(packed: np.ndarray) -> dict:
 
     flags = (pu[:, 2] >> 16) & 0xFF
     return dict(
+        shard=((pu[:, 2] >> 24) & 0xFF).astype(np.int32),
         pos=packed[:, 0].astype(np.int32),
         score=s16(pu[:, 1] >> 16),
         second=s16(pu[:, 1]),
@@ -492,7 +498,8 @@ class Aligner:
                  cheap_params: AlignParams | None = None, mesh=None,
                  indel_tier: bool = True, indel_min_clip: int = 4,
                  indel_win_margin: int = 4, banded_params=None,
-                 use_buckets: bool = True):
+                 use_buckets: bool = True, genome_shard: str = "auto",
+                 contig_shard_threshold: int = 2**31):
         self.index = index
         self.params = params
         self.indel_tier = indel_tier
@@ -532,10 +539,41 @@ class Aligner:
         self.cheap_params = cheap_params
         if index.k > 15:
             raise ValueError("device aligner requires k <= 15 (int32 k-mer codes)")
-        if len(index.flat) >= 2**31:
+        self._contig_sharded = False
+        if self._genome_sharded:
+            big = len(index.flat) >= contig_shard_threshold
+            self._contig_sharded = genome_shard == "contig" or (
+                genome_shard == "auto" and big)
+        if len(index.flat) >= 2**31 and not self._contig_sharded:
             raise ValueError(
-                "flat genome exceeds int32 positions; shard contigs across hosts"
-            )
+                "flat genome exceeds int32 positions; use a mesh with a "
+                "genome axis (contig-range sharding, parallel/sharded.py)")
+        if self._contig_sharded:
+            # contig-range shards: each device holds a slice of the flat
+            # genome + its own local-position k-mer table (the path past
+            # one chip's HBM / int32 flat positions).  The host-facing
+            # banded/stats helpers still use the host-global flat.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.sharded import split_index_by_contig
+
+            ns = self.mesh.shape["genome"]
+            cs = split_index_by_contig(index, ns)
+            gshd = NamedSharding(self.mesh, P("genome"))
+            self._cs_flat2d = jax.device_put(jnp.asarray(cs["flat2d"]), gshd)
+            self._cs_flatlen = jax.device_put(jnp.asarray(cs["flatlen"]), gshd)
+            self._cs_codes = jax.device_put(jnp.asarray(cs["codes"]), gshd)
+            self._cs_pos = jax.device_put(jnp.asarray(cs["pos"]), gshd)
+            self._cs_base_dev = jax.device_put(jnp.asarray(cs["base"]), gshd)
+            self._cs_base = np.asarray(cs["base"], np.int64)
+            self._prefix_shift = None
+            self._tables = {}
+            # replicated host-global flat for the banded tier / stats passes
+            # (skipped automatically when it would not fit — genomes beyond
+            # ~8 GB use the host collect_stats fallback)
+            self._flat2d = jax.device_put(jnp.asarray(as_rows(index.flat)),
+                                          self._rep)
+            self._flatlen = jnp.int32(min(len(index.flat), 2**31 - 1))
+            return
         self._flat2d = jnp.asarray(as_rows(index.flat))
         self._flatlen = jnp.int32(len(index.flat))
         if self._genome_sharded:
@@ -650,7 +688,11 @@ class Aligner:
             dev_chunk = jax.lax.slice_in_dim(dev_all, i, i + bs, axis=0)
             dev_lens = jax.lax.slice_in_dim(lens_all, i, i + bs, axis=0)
             handle.append((dev_chunk, dev_lens))
-            if self._genome_sharded:
+            if self._contig_sharded:
+                res = self._cshard_fn(params)(
+                    self._cs_flat2d, self._cs_flatlen, self._cs_codes,
+                    self._cs_pos, self._cs_base_dev, dev_chunk, dev_lens)
+            elif self._genome_sharded:
                 res = self._gshard_fn(params)(
                     self._flat2d, self._flatlen, self._gcodes, self._gpos,
                     dev_chunk, dev_lens)
@@ -672,8 +714,16 @@ class Aligner:
             self._gshard_fns[params] = fn
         return fn
 
-    @staticmethod
-    def _collect_pass(host: list, shape) -> dict[str, np.ndarray]:
+    def _cshard_fn(self, params):
+        fn = self._gshard_fns.get(("contig", params))
+        if fn is None:
+            from ..parallel.sharded import make_contig_sharded_align
+
+            fn = make_contig_sharded_align(self.mesh, self.index.k, params)
+            self._gshard_fns[("contig", params)] = fn
+        return fn
+
+    def _collect_pass(self, host: list, shape) -> dict[str, np.ndarray]:
         """Assemble fetched per-batch packed matrices into the output dict
         (one device_get per PHASE; one matrix per batch)."""
         n, L = shape
@@ -685,6 +735,10 @@ class Aligner:
             mp = np.concatenate(
                 [np.asarray(o["mism_packed"]) for o in host])[:n]
             cat["mism"] = np.unpackbits(mp, axis=1, count=L).astype(bool)
+        if self._contig_sharded and "shard" in cat:
+            # globalize: shard-local positions + int64 shard bases
+            cat["pos"] = self._cs_base[cat["shard"]] + \
+                cat["pos"].astype(np.int64)
         return cat
 
     def align(self, seq: np.ndarray, lengths: np.ndarray,

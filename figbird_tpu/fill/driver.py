@@ -934,11 +934,9 @@ def fill_gaps(
     if reference_exact:
         max_scan_lengths = 0
         em_iters_unmapped = 200  # reference num_itr (Figbird.cpp:6225)
-    elif max_scan_lengths:
-        # capped scans rarely early-exit (stride sampling breaks the
-        # |dlik|<=0.9 plateau runs), so block-lazy waves just pay extra
-        # tunnel syncs — dispatch every capped candidate in ONE wave
-        scan_block = max(scan_block, max_scan_lengths)
+    # NOTE: measured on the E. coli bench — capped scans still early-exit
+    # enough (4.6k of 7.5k candidates evaluated) that block-lazy waves beat
+    # one-shot dispatch despite the extra tunnel syncs; keep scan_block.
     if instance_batch is None:
         # tunnel-attached TPUs are dispatch-latency-bound: big batches;
         # CPU (tests) pays padded compute for real: small batches

@@ -149,6 +149,265 @@ def split_index_by_code(sorted_codes, sorted_pos, n_shards: int):
     return codes, pos
 
 
+def split_index_by_contig(index, n_shards: int):
+    """Split a genome into contig-range shards for HBM-limited indexes.
+
+    Each shard holds a SLICE of the padded global flat genome covering a
+    contiguous contig range (with the inter-contig pad as leading/trailing
+    margin, so windows never span shards) plus its own k-mer table with
+    LOCAL int32 positions — the path for genomes beyond one chip's HBM or
+    beyond int32 flat positions (BASELINE configs 4-5; SURVEY §5).
+
+    Returns dict(flat2d (ns*rows,128) int8, flatlen (ns,) int32,
+    codes (ns*M,) int32, pos (ns*M,) int32, base (ns,) int64) — every
+    per-shard block padded to the common width; ``base[s] + local`` is the
+    global flat position.
+    """
+    import numpy as np
+
+    from ..align.core import as_rows
+    from ..io.native import native_kmer_table
+
+    ns = n_shards
+    flat = index.flat
+    offsets = index.offsets
+    pad = index.pad
+    n_contigs = len(offsets)
+    # balance contig ranges by flat length
+    ends = np.concatenate([offsets[1:] - pad, [len(flat)]])
+    sizes = ends - (offsets - pad)
+    target = sizes.sum() / ns
+    bounds = [0]
+    acc = 0.0
+    for ci in range(n_contigs):
+        acc += sizes[ci]
+        if acc >= target * len(bounds) and len(bounds) < ns:
+            bounds.append(ci + 1)
+    while len(bounds) < ns:
+        bounds.append(n_contigs)
+    bounds.append(n_contigs)
+
+    shard_flats, shard_tables, bases = [], [], []
+    for s in range(ns):
+        lo_c, hi_c = bounds[s], bounds[s + 1]
+        if lo_c >= hi_c:  # empty shard: a pad-only stub
+            shard_flats.append(np.full(pad, 4, np.int8))
+            shard_tables.append((np.zeros(0, np.int32), np.zeros(0, np.int32)))
+            bases.append(0)
+            continue
+        base = int(offsets[lo_c]) - pad
+        end = int(ends[hi_c - 1]) + pad
+        sl = flat[base : min(end, len(flat))]
+        res = native_kmer_table(sl, index.k)
+        if res is None:  # pure-python fallback
+            from ..align.index import _rolling_codes
+
+            codes, valid = _rolling_codes(np.asarray(sl, np.int8), index.k)
+            idx = np.flatnonzero(valid)
+            order = np.argsort(codes[idx], kind="stable")
+            res = (codes[idx][order].astype(np.int32),
+                   idx[order].astype(np.int32))
+        shard_flats.append(np.asarray(sl, np.int8))
+        shard_tables.append(res)
+        bases.append(base)
+
+    rows = max((len(f) + 127) // 128 + 2 for f in shard_flats)
+    M = max(max(len(t[0]) for t in shard_tables), 1)
+    SENT = np.int32(1 << 30)  # > any k<=15 code
+    flat2d = np.full((ns * rows, 128), 4, np.int8)
+    flatlen = np.zeros(ns, np.int32)
+    codes = np.full(ns * M, SENT, np.int32)
+    pos = np.zeros(ns * M, np.int32)
+    for s in range(ns):
+        f2 = as_rows(shard_flats[s])
+        flat2d[s * rows : s * rows + len(f2)] = f2
+        flatlen[s] = len(shard_flats[s])
+        c, p = shard_tables[s]
+        codes[s * M : s * M + len(c)] = c
+        pos[s * M : s * M + len(p)] = p
+    return dict(flat2d=flat2d, flatlen=flatlen, codes=codes, pos=pos,
+                base=np.asarray(bases, np.int64), rows=rows, M=M)
+
+
+def make_contig_sharded_align(mesh: Mesh, k: int, params):
+    """Contig-range genome-sharded aligner (flat genome itself sharded).
+
+    Unlike :func:`make_genome_sharded_align` (code-range table shards over a
+    replicated genome), every device holds only ITS contig range of the flat
+    genome — the path for indexes larger than one chip's HBM and for
+    genomes beyond int32 flat positions.  Bit-equality with the replicated
+    aligner requires reproducing its GLOBAL hit enumeration: for each seed
+    k-mer, the replicated table enumerates the first H hits in ascending
+    global position.  Shards are position-ordered, so the global first-H are
+    the per-shard hits whose global rank (cross-shard exclusive prefix of
+    per-shard hit counts, one small all_gather) is < H; the candidate slot
+    used for tie-breaks is the global rank, and overflow/repeat masks use
+    the global count.  Positions stay LOCAL int32 on device (plus the shard
+    id); hosts globalize with the int64 shard bases.
+    """
+    from ..align.core import (GAP_CODE, NEG, _score_candidates, _seed_codes,
+                              _use_scan_kernel, _revcomp_batch, _extract_span,
+                              _pack_out)
+
+    H = params.hits_per_seed
+    S = params.n_seeds
+
+    def one_strand(flat2d, flatlen, codes, pos, reads, lengths):
+        B, L = reads.shape
+        scodes, valid, offs = _seed_codes(reads, lengths, k, S)
+        lo = jnp.searchsorted(codes, scodes, side="left")
+        hi = jnp.searchsorted(codes, scodes, side="right")
+        cnt = hi - lo                                  # (B,S) local
+        cnts = jax.lax.all_gather(cnt, "genome")       # (ns,B,S)
+        gi = jax.lax.axis_index("genome")
+        ns = cnts.shape[0]
+        before = jnp.sum(
+            jnp.where(jnp.arange(ns)[:, None, None] < gi, cnts, 0), axis=0)
+        total = jnp.sum(cnts, axis=0)
+        h = jnp.arange(H)
+        hmask = ((h < cnt[..., None]) & (before[..., None] + h < H)
+                 & valid[..., None] & (total[..., None] <= params.repeat_limit))
+        M = codes.shape[0]
+        hit_idx = jnp.clip(lo[..., None] + h, 0, M - 1)
+        hit_pos = pos[hit_idx]
+        overflow = valid & (total > H) & (total <= params.repeat_limit)
+        gslot = (jnp.arange(S)[None, :, None] * H
+                 + before[..., None] + h)              # global candidate slot
+        cand = hit_pos - offs[:, :, None]
+        cand = jnp.clip(cand, 0, flatlen - L - 1)
+        C = S * H
+        cand = cand.reshape(B, C)
+        hmask_f = hmask.reshape(B, C)
+        gslot = jnp.clip(gslot, 0, (1 << 20)).reshape(B, C)
+
+        if _use_scan_kernel():
+            from ..ops.align_score import score_candidates_scan
+
+            sc = score_candidates_scan(flat2d, reads, cand, params.match,
+                                       params.mismatch, GAP_CODE)
+            sc["local"] = jnp.where(hmask_f, sc["local"], NEG)
+        else:
+            sc = _score_candidates(flat2d, reads, cand, hmask_f,
+                                   params.match, params.mismatch)
+        sel = jnp.where(hmask_f, sc["e2e"], NEG) if params.end_to_end \
+            else sc["local"]
+        sc["sel"] = sel
+        # per-shard best with GLOBAL slot order for ties: minimize
+        # (-sel, gslot) — scan slots ascending via argmax of keyed max
+        best_sel = jnp.max(sel, axis=-1)
+        tie = sel == best_sel[:, None]
+        best_slot = jnp.min(jnp.where(tie, gslot, 1 << 20), axis=-1)
+        bi = jnp.argmax(tie & (gslot == best_slot[:, None]), axis=-1)
+
+        def take(x):
+            return jnp.take_along_axis(x, bi[:, None], axis=1)[:, 0]
+
+        best = dict(score=take(sel), e2e=take(sc["e2e"]),
+                    start=take(sc["start"]), end=take(sc["end"]),
+                    n_mis=take(sc["n_mis"]), pos=take(cand),
+                    cand_i=best_slot.astype(jnp.int32),
+                    hit_overflow=jnp.any(overflow, axis=-1))
+        others = jnp.where(cand != best["pos"][:, None], sel, NEG)
+        best["second"] = jnp.max(others, axis=-1)
+        return best
+
+    def local(flat2d, flatlen, codes, pos, base, reads, lengths):
+        B, L = reads.shape
+        gi = jax.lax.axis_index("genome")
+        flatlen_s = flatlen[0]
+        fwd = one_strand(flat2d, flatlen_s, codes, pos, reads, lengths)
+        rc_reads = _revcomp_batch(reads, lengths)
+        rev = one_strand(flat2d, flatlen_s, codes, pos, rc_reads, lengths)
+        use_rev = rev["score"] > fwd["score"]
+        out = {kk: jnp.where(use_rev, rev[kk], fwd[kk])
+               for kk in ("score", "e2e", "start", "end", "n_mis", "pos",
+                          "cand_i")}
+        out["hit_overflow"] = fwd["hit_overflow"] | rev["hit_overflow"]
+        out["strand"] = use_rev.astype(jnp.int8)
+        out["second"] = jnp.maximum(
+            jnp.where(use_rev, rev["second"], fwd["second"]),
+            jnp.where(use_rev, fwd["score"], rev["score"]))
+        out["shard"] = jnp.full((B,), 0, jnp.int32) + gi
+
+        # cross-shard combine: winner by (score desc, strand fwd-first,
+        # global slot asc) — the replicated argmax order
+        st = {kk: jax.lax.all_gather(v, "genome") for kk, v in out.items()}
+        BIG = jnp.int32(1 << 30)
+        mx = jnp.max(st["score"], axis=0)
+        elig = st["score"] == mx
+        mnst = jnp.min(jnp.where(elig, st["strand"].astype(jnp.int32), 2),
+                       axis=0)
+        elig = elig & (st["strand"].astype(jnp.int32) == mnst[None, :])
+        mnci = jnp.min(jnp.where(elig, st["cand_i"], BIG), axis=0)
+        win = jnp.argmax(elig & (st["cand_i"] == mnci[None, :]), axis=0)
+
+        def takew(v):
+            return jnp.take_along_axis(
+                v, win[None, :].astype(jnp.int32), axis=0)[0]
+
+        res = {kk: takew(v) for kk, v in st.items()}
+        # runner-up at a distinct (shard, pos) — distinct global position
+        same_place = (st["pos"] == res["pos"][None, :]) & \
+            (st["shard"] == res["shard"][None, :])
+        res["second"] = jnp.max(
+            jnp.where(same_place, st["second"], st["score"]), axis=0)
+
+        # winner's genome window, fetched from the owning shard (exactly one
+        # owner contributes; the rest add zero, so a psum reconstructs it)
+        mine = res["shard"] == gi
+        win_chars = _extract_span(
+            flat2d, jnp.where(mine, res["pos"], 0), L)
+        win_chars = jnp.where(mine[:, None], win_chars.astype(jnp.int32), 0)
+        win_chars = jax.lax.psum(win_chars, "genome")
+        reads_o = jnp.where(res["strand"][:, None] == 1,
+                            _revcomp_batch(reads, lengths), reads)
+        rv = reads_o != GAP_CODE
+        m = (win_chars == reads_o) & rv & (win_chars != GAP_CODE)
+        if params.end_to_end:
+            min_score = (params.e2e_min_const + params.e2e_min_per_base
+                         * lengths.astype(jnp.float32))
+            res["n_mis"] = jnp.sum(rv & ~m, axis=1)
+            res["aligned"] = res["score"].astype(jnp.float32) >= min_score
+            res["alen"] = lengths
+            res["clip_start"] = jnp.zeros_like(lengths)
+            res["clip_end"] = jnp.zeros_like(lengths)
+        else:
+            min_score = (params.min_score_const + params.min_score_log
+                         * jnp.log(jnp.maximum(lengths, 2).astype(jnp.float32)))
+            res["aligned"] = res["score"].astype(jnp.float32) >= min_score
+            res["alen"] = res["end"] - res["start"] + 1
+            res["clip_start"] = res["start"]
+            res["clip_end"] = jnp.maximum(lengths - 1 - res["end"], 0)
+        res["unique"] = res["aligned"] & (res["score"] > res["second"])
+        if params.want_mism:
+            res["mism_packed"] = jnp.packbits(rv & ~m, axis=1)
+        res["packed"] = _pack_out(res, reads.shape[1])
+        # broadcast rank-0's combined copy (provably replicated)
+        res = {kk: jax.lax.psum(
+            jnp.where(gi == 0, v, jnp.zeros_like(v)), "genome")
+            if v.dtype != jnp.bool_ else
+            jax.lax.psum(jnp.where(gi == 0, v.astype(jnp.int32),
+                                   0), "genome").astype(jnp.bool_)
+            for kk, v in res.items()}
+        return res
+
+    def fn(flat2d, flatlen, codes, pos, base, reads, lengths):
+        keys = ["score", "e2e", "start", "end", "n_mis", "pos", "cand_i",
+                "hit_overflow", "strand", "second", "shard", "aligned",
+                "alen", "clip_start", "clip_end", "unique", "packed"]
+        if params.want_mism:
+            keys.append("mism_packed")
+        out_specs = {kk: P("reads") for kk in keys}
+        m = shard_map(local, mesh=mesh,
+                      in_specs=(P("genome"), P("genome"), P("genome"),
+                                P("genome"), P("genome"), P("reads", None),
+                                P("reads")),
+                      out_specs=out_specs)
+        return m(flat2d, flatlen, codes, pos, base, reads, lengths)
+
+    return jax.jit(fn)
+
+
 def make_genome_sharded_align(mesh: Mesh, k: int, params):
     """Production genome-axis-sharded aligner program.
 

@@ -97,10 +97,57 @@ def test_genome_sharded_aligner_bit_identical():
         np.testing.assert_array_equal(
             np.asarray(out_sh[kk]), np.asarray(out_ref[kk]), err_msg=kk)
     # placement fields are meaningful only for reads with a candidate
+    # candidate-less reads carry the (clamped) NEG sentinel score; their
+    # placement fields are meaningless by design
     al = np.asarray(out_ref["aligned"]) | (
-        np.asarray(out_ref["score"]) > -(2 ** 29))
+        np.asarray(out_ref["score"]) > -32000)
     assert al.sum() > 1000  # the fixture actually aligns
     for kk in ("pos", "strand", "clip_start", "clip_end", "n_mis", "alen"):
         np.testing.assert_array_equal(
             np.asarray(out_sh[kk])[al], np.asarray(out_ref[kk])[al],
             err_msg=kk)
+
+
+def test_contig_sharded_aligner_bit_identical():
+    """Contig-range genome sharding (each device holds a SLICE of the flat
+    genome + local-position k-mer table — the path past one chip's HBM /
+    int32 flat positions, BASELINE configs 4-5) must reproduce the
+    replicated searchsorted aligner bit-for-bit, forced on via an
+    artificially low threshold (VERDICT r3 item 5)."""
+    import jax
+
+    from figbird_tpu.align import Aligner, AlignParams, build_index
+    from figbird_tpu.align.core import e2e_params
+    from figbird_tpu.parallel import make_mesh
+    from figbird_tpu.simulate import SimConfig, simulate
+
+    sim = simulate(SimConfig(genome_len=80_000, n_contigs=6, n_gaps=4,
+                             read_len=76, insert_mean=250, insert_sd=20,
+                             coverage=3.0, error_rate=0.004, seed=17))
+    idx = build_index(sim.draft, k=15)
+    r = sim.reads1
+    mesh = make_mesh(8, genome_shards=4)
+
+    for p in (AlignParams(want_mism=False),
+              e2e_params(AlignParams(want_mism=False))):
+        al_sh = Aligner(idx, p, mesh=mesh, batch_size=1024, two_tier=False,
+                        indel_tier=False, genome_shard="contig",
+                        contig_shard_threshold=1)
+        assert al_sh._contig_sharded
+        out_sh = al_sh.align(r.seq, r.length)
+
+        al_ref = Aligner(idx, p, batch_size=1024, two_tier=False,
+                         indel_tier=False, use_buckets=False)
+        out_ref = al_ref.align(r.seq, r.length)
+
+        for kk in ("score", "aligned", "unique", "second"):
+            np.testing.assert_array_equal(
+                np.asarray(out_sh[kk]), np.asarray(out_ref[kk]), err_msg=kk)
+        al = np.asarray(out_ref["aligned"]) | (
+            np.asarray(out_ref["score"]) > -32000)
+        assert al.sum() > 500
+        for kk in ("pos", "strand", "clip_start", "clip_end", "n_mis",
+                   "alen"):
+            np.testing.assert_array_equal(
+                np.asarray(out_sh[kk])[al], np.asarray(out_ref[kk])[al],
+                err_msg=kk)
