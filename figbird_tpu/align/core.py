@@ -154,9 +154,12 @@ def _extract_span(table2d: jnp.ndarray, start: jnp.ndarray, S: int) -> jnp.ndarr
     dtype; callers pad the table via :func:`as_rows`.
     """
     row = start >> 7
-    seg = jnp.concatenate([table2d[row], table2d[row + 1]], axis=-1)
-    off = start & 127
     S1 = S + 8
+    # rows needed so the deepest shifted slice (offset 120 + S1) stays in
+    # range; 2 for S <= 128 (the common case), more for longer spans
+    nseg = -(-(120 + S1) // 128)
+    seg = jnp.concatenate([table2d[row + i] for i in range(nseg)], axis=-1)
+    off = start & 127
     hi = off >> 3
     st1 = jnp.zeros(seg.shape[:-1] + (S1,), seg.dtype)
     for s in range(16):

@@ -189,3 +189,55 @@ def test_end_to_end_mode():
     assert not a_e2e["aligned"][1]  # e2e: 50 N-mismatches sink the read
     assert a_e2e["clip_start"][0] == 0 and a_e2e["clip_end"][0] == 0
     assert a_e2e["n_mis"][0] == 0
+
+
+def test_e2e_min_score_matches_bowtie2_formula():
+    """Validate the e2e acceptance bar against hand-computed bowtie2
+    decisions (VERDICT r3 item 6a).
+
+    bowtie2's default end-to-end scoring: 0 per match, -6 per high-quality
+    mismatch (--mp 6,2 at Q40), min-score ``L,-0.6,-0.6`` => accept iff
+    -6*m >= -0.6 - 0.6*L  <=>  m <= 0.1*L + 0.1.  Our +2/-6 scorer with the
+    ``1.2*L - 0.8`` bar (core.py e2e_min_*): 2L - 8m >= 1.2L - 0.8  <=>
+    m <= 0.1*L + 0.1 — the identical decision boundary.  Drive ~20 cases
+    (L = 50/101/150, m around the boundary) end-to-end through the aligner
+    and assert each accept/reject matches bowtie2's formula.
+    """
+    import math
+
+    from figbird_tpu.align.core import e2e_params
+
+    rng = np.random.default_rng(42)
+    L_cases = [(50, (3, 4, 5, 6, 7)),
+               (101, (8, 9, 10, 11, 12)),
+               (150, (13, 14, 15, 16, 17))]
+    genome_seq = rng.integers(0, 4, size=400_000, dtype=np.int8)
+    g = Genome(["c0"], [genome_seq])
+    idx = build_index(g, k=15)
+    Lmax = 150
+    reads, lens, expect = [], [], []
+    pos_cursor = 1000
+    for L, mcounts in L_cases:
+        for m in mcounts:
+            src = genome_seq[pos_cursor : pos_cursor + L].copy()
+            # plant m mismatches AFTER an intact 20bp seed prefix so seeding
+            # always finds the placement; spread them out
+            slots = np.linspace(22, L - 2, m).astype(int)
+            for s in slots:
+                src[s] = (src[s] + 1) % 4
+            row = np.full(Lmax, 4, np.int8)
+            row[:L] = src
+            reads.append(row)
+            lens.append(L)
+            # bowtie2 accept: m <= 0.1*L + 0.1
+            expect.append(m <= 0.1 * L + 0.1)
+            pos_cursor += 2000
+    reads = np.stack(reads)
+    lens = np.asarray(lens, np.int32)
+    al = Aligner(idx, e2e_params(AlignParams()), two_tier=False,
+                 indel_tier=False, batch_size=64)
+    out = al.align(reads, lens)
+    for i, exp in enumerate(expect):
+        assert bool(out["aligned"][i]) == exp, (
+            f"case {i}: L={lens[i]} expected aligned={exp}, "
+            f"score={out['score'][i]}")
