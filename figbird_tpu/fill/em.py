@@ -164,6 +164,7 @@ def compute_error_probs_gap(probs: jnp.ndarray, et: jnp.ndarray) -> jnp.ndarray:
 
 
 from ..ops import band_score
+from ..ops.band import band_score_soft
 
 
 def _sel_jm(L: int) -> np.ndarray:
@@ -232,12 +233,17 @@ def _fold_slab(slab: jnp.ndarray, W: int) -> jnp.ndarray:
 
 def _fold_counts_cmajor(cw: jnp.ndarray, L: int, W: int) -> jnp.ndarray:
     """cw (Wp, 5*L) c-major window counts -> counts (W, 5):
-    counts[p+j, c] += cw[p, c*L+j].  Five contiguous (Wp, L) slab folds —
-    a (Wp, L, 5) layout would tile-pad 5 -> 128 lanes on TPU.
+    counts[p+j, c] += cw[p, c*L+j].  One (5, L, Wp) relayout + the inverse
+    skew applied to all five channels at once (five separate per-channel
+    transposes cost ~5x the relayout traffic under vmap).
     """
-    return jnp.stack(
-        [_fold_slab(cw[:, c * L : (c + 1) * L], W) for c in range(5)],
-        axis=1)
+    Wp = cw.shape[0]
+    ct = cw.reshape(Wp, 5, L).transpose(1, 2, 0)      # (5, L, Wp)
+    RL = Wp + L + 1
+    Ap = jnp.concatenate(
+        [ct, jnp.zeros((5, L, L + 1), cw.dtype)], axis=2).reshape(5, L * RL)
+    skew = Ap[:, : L * (RL - 1)].reshape(5, L, RL - 1)
+    return skew[:, :, :W].sum(axis=1).T               # (W, 5)
 
 
 def consensus_from_counts(counts, gap_zone, check, cov_thresh):
@@ -446,10 +452,12 @@ def _score(oh_flat, K, Wp):
 
 
 def _accumulate(weights, oh_count_cmajor, cfg):
-    """Soft/hard count accumulation: (Wp,N)@(N,5L c-major) then per-c
+    """Soft/hard count accumulation: contract the read axis directly
+    ((N,Wp) x (N,5L) -> (Wp,5L); the MXU takes transposed lhs natively, an
+    explicit .T materialised a batched relayout under vmap) then per-c
     diagonal folds -> (W,5)."""
     cw = jax.lax.dot_general(
-        weights.T, oh_count_cmajor, (((1,), (0,)), ((), ())),
+        weights, oh_count_cmajor, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     return _fold_counts_cmajor(cw, cfg.L, cfg.W)
@@ -863,8 +871,7 @@ def _place_partial(cfg, inst, model, probs, eprobs, track_orig):
     legal = _legal_partial(cfg, inst, model)
     gap_zone = _gap_zone(inst, cfg)
 
-    K = _soft_K(probs, eprobs, model["e_fwd"], cfg.W)
-    lnP = _score(oh_score, K, cfg.Wp)
+    lnP = band_score_soft(oh_score, probs, eprobs, model["e_fwd"], cfg.Wp)
     lnP = jnp.where(legal, lnP, NEG)
     soft = _accumulate_logw(LN10 * lnP, legal, oh_count, cfg)
     counts = jnp.where(gap_zone[:, None], soft, _counts_flank(inst, cfg))
@@ -931,10 +938,8 @@ def _place_unmapped(cfg, inst, model, probs, eprobs, finalize_flag: bool):
     prior = model["ln_ins"][t_ins]  # (R,Wp) natural log of smoothed pmf
 
     # soft pass: two strand groups for the cycle-indexed error rate
-    K_f = _soft_K(probs, eprobs, model["e_fwd"], cfg.W)
-    K_r = _soft_K(probs, eprobs, model["e_rev"], cfg.W)
-    ln_f = _score(oh, K_f, cfg.Wp)
-    ln_r = _score(oh, K_r, cfg.Wp)
+    ln_f = band_score_soft(oh, probs, eprobs, model["e_fwd"], cfg.Wp)
+    ln_r = band_score_soft(oh, probs, eprobs, model["e_rev"], cfg.Wp)
     rev = (inst["u_rev"] == 1)[:, None]
     lnP = jnp.where(rev, ln_r, ln_f) + prior
     lnP = jnp.where(legal, lnP, NEG)

@@ -131,3 +131,94 @@ def band_score(oh_flat: jnp.ndarray, K: jnp.ndarray, Wp: int) -> jnp.ndarray:
     if use_pallas():
         return _band_score_pallas(oh_flat, K, Wp)
     return band_score_reference(oh_flat, K, Wp)
+
+
+# ---------------------------------------------------------------------------
+# fused soft-pass kernel: builds the banded K tile IN VMEM from the (W, 5)
+# probability tensors instead of materialising K (W, L*5) in HBM.  The soft
+# EM pass's K build (probs/eprobs expansion + log) was the dominant HBM
+# traffic of a fill dispatch (~6 MB/instance/iteration vs ~1.3 MB fused).
+# ---------------------------------------------------------------------------
+
+
+def _band_soft_kernel(e_ref, a_ref, b_ref, oh_ref, out_ref, kw, *, L, C):
+    from jax.experimental import pallas as pl
+
+    p = pl.program_id(0)
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _build():
+        p0 = p * TP
+        # F[t, j*C+c] = A[p0+t+j, c]*(1-e_j) + e_j*B[p0+t+j, c]
+        for j in range(L):
+            a = a_ref[0, pl.dslice(p0 + j, TP), :]
+            b = b_ref[0, pl.dslice(p0 + j, TP), :]
+            e = e_ref[j]
+            kw[:, j * C : (j + 1) * C] = a * (1.0 - e) + e * b
+        # one full-lane log over the assembled tile
+        kw[:, :] = jnp.log(jnp.maximum(kw[:, :], 1e-30))
+
+    out_ref[:, :] = jax.lax.dot_general(
+        oh_ref[:, :], kw[:, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("Wp",))
+def _band_score_soft_pallas(oh_flat, probs, eprobs, e_pos, Wp: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, LC = oh_flat.shape
+    W, C = probs.shape
+    L = LC // C
+    n_p = -(-Wp // TP)
+    n_r = -(-R // TR)
+    Wpad = n_p * TP + L
+    Rpad = n_r * TR
+    A = probs.astype(jnp.float32)
+    B = eprobs.astype(jnp.float32)
+    if Wpad > W:
+        z = jnp.zeros((Wpad - W, C), jnp.float32)
+        A = jnp.concatenate([A, z], axis=0)
+        B = jnp.concatenate([B, z], axis=0)
+    oh = oh_flat.astype(jnp.float32)
+    if Rpad > R:
+        oh = jnp.concatenate([oh, jnp.zeros((Rpad - R, LC), jnp.float32)],
+                             axis=0)
+
+    out = pl.pallas_call(
+        functools.partial(_band_soft_kernel, L=L, C=C),
+        grid=(n_p, n_r),
+        interpret=(jax.default_backend() != "tpu"),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # e (L,)
+            pl.BlockSpec((1, Wpad, C), lambda p, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),           # A full
+            pl.BlockSpec((1, Wpad, C), lambda p, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),           # B full
+            pl.BlockSpec((TR, LC), lambda p, r: (r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR, TP), lambda p, r: (r, p),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rpad, n_p * TP), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TP, LC), jnp.float32),
+        ],
+    )(e_pos.astype(jnp.float32), A[None], B[None], oh)
+    return out[:R, :Wp]
+
+
+def band_score_soft(oh_flat, probs, eprobs, e_pos, Wp: int):
+    """Soft-pass score: sum_j log(A[p+j, c_rj](1-e_j) + e_j B[p+j, c_rj]).
+
+    TPU: fused Pallas kernel (K never touches HBM).  Fallback: the XLA
+    _soft_K + skew-matmul path with IDENTICAL numerics (same op order)."""
+    if use_pallas():
+        return _band_score_soft_pallas(oh_flat, probs, eprobs, e_pos, Wp)
+    from ..fill.em import _soft_K
+
+    K = _soft_K(probs, eprobs, e_pos, probs.shape[0])
+    return band_score_reference(oh_flat, K, Wp)

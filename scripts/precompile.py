@@ -1,0 +1,59 @@
+"""Populate the persistent compile cache for the standard program set.
+
+Cold-start mitigation (VERDICT r3 item 8): on a tunnel-attached TPU the
+first-ever run pays remote XLA compiles (historically 1-10+ min).  XLA
+programs are keyed by SHAPE, and this framework quantizes every device
+program to a fixed shape set (align batches pad to ``batch_size``; fill
+gaps bucket to GAP_BUCKETS x COUNT_BUCKETS), so compiling against a TINY
+dataset with the production read length yields byte-identical cache entries
+to a full-scale run.
+
+Run once per machine (or bake /tmp/jax_cache into the image):
+
+    python scripts/precompile.py [read_len] [batch_size]
+
+then every bench/production run starts warm (~30 s of cache loads instead
+of minutes of compiles).
+"""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+RL = int(sys.argv[1]) if len(sys.argv) > 1 else 101
+BS = int(sys.argv[2]) if len(sys.argv) > 2 else 32768
+
+from figbird_tpu.config import FigbirdConfig, Parameters, ReadLibrary
+from figbird_tpu.pipeline import Pipeline
+from figbird_tpu.simulate import SimConfig, simulate
+
+t0 = time.time()
+print(f"# device: {jax.devices()[0]}  read_len={RL} batch={BS}",
+      file=sys.stderr)
+
+# gap lengths spanning the standard fill buckets: <=101 -> 512-gap bucket,
+# (101, 202] -> 1024 (findFrac hi = 5*orig), tiny gaps exercise the probe
+# grid; two libraries drive both the partial and unmapped program sets
+sim = simulate(SimConfig(
+    genome_len=400_000, n_contigs=2, n_gaps=16, gap_len_range=(8, 180),
+    read_len=RL, insert_mean=200, insert_sd=20, coverage=8.0,
+    error_rate=0.005, seed=5))
+cfg = FigbirdConfig(
+    draft_genome="", output_folder="",
+    read_pairs=[ReadLibrary("", "", avg_insert_size=200,
+                            max_read_length=RL)],
+    parameters=Parameters(trim_len=0))
+pipe = Pipeline(cfg, sim.draft, [(sim.reads1, sim.reads2)],
+                aligner_kwargs={"batch_size": BS})
+pipe.run_iteration("p", 0)
+print(f"# partial programs compiled ({time.time()-t0:.0f}s)", file=sys.stderr)
+pipe.run_iteration("u", 0)
+print(f"# unmapped programs compiled ({time.time()-t0:.0f}s)",
+      file=sys.stderr)
+print(f"# cache populated: {jax.config.jax_compilation_cache_dir} "
+      f"({time.time()-t0:.0f}s total)", file=sys.stderr)

@@ -19,6 +19,7 @@ cfg = FillConfig(W=L+gb+L, Wp=L+gb, L=L, WL=L, max_gap_len=gb, R=1, P=P,
 rng = np.random.default_rng(0)
 gap_arrays = dict(
     orig_gap=jnp.asarray(np.full(G, 60, np.int32)),
+    side_limit=jnp.asarray(np.full(G, 30, np.int32)),
     gap_start=jnp.asarray(np.full(G, 5000, np.int32)),
     perfect_gap=jnp.zeros(G, jnp.int32), perfect_gaplen=jnp.zeros(G, jnp.int32),
     left_win=jnp.asarray(rng.integers(0, 4, (G, cfg.WL)).astype(np.int8)),
