@@ -107,8 +107,12 @@ def main():
         parameters=Parameters(trim_len=0),
     )
 
+    align_bs = int(os.environ.get("BENCH_ALIGN_BATCH", "0"))
+    ak = {"batch_size": align_bs} if align_bs else {}
+
     def one_iteration(**kw) -> tuple[float, "Pipeline"]:
-        pipe = Pipeline(cfg, sim.draft, [(sim.reads1, sim.reads2)], **kw)
+        pipe = Pipeline(cfg, sim.draft, [(sim.reads1, sim.reads2)],
+                        aligner_kwargs=ak, **kw)
         t0 = time.time()
         st = pipe.run_iteration("p", 0)
         wall = time.time() - t0
