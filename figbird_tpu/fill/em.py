@@ -233,15 +233,22 @@ def _fold_slab(slab: jnp.ndarray, W: int) -> jnp.ndarray:
 
 def _fold_counts_cmajor(cw: jnp.ndarray, L: int, W: int) -> jnp.ndarray:
     """cw (Wp, 5*L) c-major window counts -> counts (W, 5):
-    counts[p+j, c] += cw[p, c*L+j].  One (5, L, Wp) relayout + the inverse
-    skew applied to all five channels at once (five separate per-channel
-    transposes cost ~5x the relayout traffic under vmap).
+    counts[p+j, c] += cw[p, c*L+j]."""
+    return _fold_counts_T(cw.T, L, W)
+
+
+def _fold_counts_T(cwT: jnp.ndarray, L: int, W: int) -> jnp.ndarray:
+    """cwT (5L, Wp) TRANSPOSED c-major window counts -> counts (W, 5):
+    counts[p+j, c] += cwT[c*L+j, p].  The accumulate matmuls emit this
+    orientation directly (contract the read axis with the one-hots on the
+    LHS), so the (5, L, Wp) split is a free major-axis reshape and the skew
+    needs no relayout at all — the transpose was ~60%% of the fold cost.
     """
-    Wp = cw.shape[0]
-    ct = cw.reshape(Wp, 5, L).transpose(1, 2, 0)      # (5, L, Wp)
+    Wp = cwT.shape[1]
+    ct = cwT.reshape(5, L, Wp)
     RL = Wp + L + 1
     Ap = jnp.concatenate(
-        [ct, jnp.zeros((5, L, L + 1), cw.dtype)], axis=2).reshape(5, L * RL)
+        [ct, jnp.zeros((5, L, L + 1), cwT.dtype)], axis=2).reshape(5, L * RL)
     skew = Ap[:, : L * (RL - 1)].reshape(5, L, RL - 1)
     return skew[:, :, :W].sum(axis=1).T               # (W, 5)
 
@@ -451,16 +458,130 @@ def _score(oh_flat, K, Wp):
     return band_score(oh_flat, K, Wp)
 
 
+# ---------------------------------------------------------------------------
+# banded partial placement: every legal partial position lives within L of a
+# gap edge (rng_left  in [gs-plen+1, gs), rng_right in [ge-plen+1, ge) with
+# plen <= L — Figbird.cpp:3124-3134/3195-3203), so the Wp-wide position axis
+# collapses EXACTLY to two L-wide bands: a static left band at the gap start
+# and a dynamic right band at the candidate gap end.  Scoring, accumulation
+# and the hard pass all run 2x128 positions instead of Wp (~2.4x less math
+# at the 512-gap bucket), with identical per-position sums and the same
+# scan order (band-1 positions strictly precede band-2's, preserving argmax
+# tie-breaks).
+# ---------------------------------------------------------------------------
+
+_BAND = 128
+
+
+def _band_starts(cfg: FillConfig, gap_len):
+    """(p0_left static 0, p0_right traced) window starts of the two bands.
+
+    Band ownership: band 1 owns positions p < WL, band 2 owns p >= WL —
+    complete and disjoint over all legal positions (see header note)."""
+    p0r = cfg.WL + jnp.maximum(gap_len - cfg.L + 1, 0)
+    p0r = jnp.minimum(p0r, cfg.W - (_BAND + cfg.L))  # keep the slab in-range
+    return jnp.int32(0), p0r.astype(jnp.int32)
+
+
+def _legal_partial_band(cfg: FillConfig, inst, p0, own_left: bool):
+    """Legality over band positions [p0, p0+_BAND) plus band ownership."""
+    p = p0 + jnp.arange(_BAND)[None, :]
+    cpos = inst["gap_start"] - cfg.WL + p
+    plen = inst["p_len"][:, None]
+    left = ((inst["p_match"] == 1) | (inst["p_match"] == 4))[:, None]
+    gs = inst["gap_start"]
+    ge = gs + inst["gap_len"]
+    rng_left = (cpos >= gs - plen + 1) & (cpos < gs)
+    rng_right = (cpos >= ge - plen + 1) & (cpos < ge)
+    rng = jnp.where(left, rng_left, rng_right)
+    refp = inst["p_refpos"][:, None]
+    refp_r = refp + inst["gap_len"] - inst["orig_gap"]
+    t_ins = jnp.where(left, cpos - refp + plen, refp_r - cpos + plen)
+    ins_ok = (refp == -1) | ((t_ins >= cfg.insert_tmin)
+                             & (t_ins <= cfg.insert_tmax))
+    own = (p < cfg.WL) if own_left else (p >= cfg.WL)
+    return rng & ins_ok & inst["p_valid"][:, None] & own
+
+
+def _accumulate_band(weights, oh_count_cmajor, L: int):
+    """(P, _BAND) weights -> (_BAND+L, 5) band-local counts."""
+    cwT = jax.lax.dot_general(
+        oh_count_cmajor, weights, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return _fold_counts_T(cwT, L, _BAND + L)
+
+
+def _assemble_bands(fold1, fold2, p0r, cfg: FillConfig):
+    """Scatter-add the two band folds into a (W, 5) counts array."""
+    out = jnp.zeros((cfg.W, 5), jnp.float32)
+    out = jax.lax.dynamic_update_slice(out, fold1, (0, 0))
+    cur = jax.lax.dynamic_slice(out, (p0r, jnp.int32(0)),
+                                (_BAND + cfg.L, 5))
+    return jax.lax.dynamic_update_slice(out, cur + fold2, (p0r, jnp.int32(0)))
+
+
+def _soft_counts_banded(logw1, legal1, logw2, legal2, p0r, oh_c, cfg):
+    """Banded soft-count accumulation with the same fast/exact modes as
+    :func:`_accumulate_logw` (the cascade level is selected per assembled
+    ROW, after both bands' contributions combine)."""
+    if not cfg.exact_soft:
+        w1 = jnp.where(legal1, jnp.exp(jnp.maximum(logw1, -700.0)), 0.0)
+        w2 = jnp.where(legal2, jnp.exp(jnp.maximum(logw2, -700.0)), 0.0)
+        return _assemble_bands(_accumulate_band(w1, oh_c, cfg.L),
+                               _accumulate_band(w2, oh_c, cfg.L), p0r, cfg)
+    chosen = None
+    for k in reversed(range(_CASCADE_LEVELS)):
+        parts = []
+        for lw, lg in ((logw1, legal1), (logw2, legal2)):
+            lk = lw + k * _CASCADE_SHIFT
+            wk = jnp.where(lg & (lk <= _CASCADE_CUT),
+                           jnp.exp(jnp.clip(lk, -745.0, _CASCADE_CUT)), 0.0)
+            parts.append(_accumulate_band(wk, oh_c, cfg.L))
+        ck = _assemble_bands(parts[0], parts[1], p0r, cfg)
+        if chosen is None:
+            chosen = ck
+        else:
+            total = ck.sum(axis=-1, keepdims=True)
+            chosen = jnp.where(total > _CASCADE_TAU, ck, chosen)
+    return chosen
+
+
+def _score_soft_band(oh_score, probs, eprobs, e_pos, p0, cfg):
+    """Fused soft score over one band: slice the (W,5) probability rows the
+    band's K tile needs and run the compact kernel."""
+    pr_sl = jax.lax.dynamic_slice(probs, (p0, jnp.int32(0)),
+                                  (_BAND + cfg.L, 5))
+    ep_sl = jax.lax.dynamic_slice(eprobs, (p0, jnp.int32(0)),
+                                  (_BAND + cfg.L, 5))
+    return band_score_soft(oh_score, pr_sl, ep_sl, e_pos, _BAND)
+
+
+def _score_hard_band(oh_score, gap_string, model, p0, cfg):
+    gs_sl = jax.lax.dynamic_slice(gap_string, (p0,), (_BAND + cfg.L,))
+    Kh = _hard_K(gs_sl, model["a_fwd"], model["b_fwd"], model["ln_et"])
+    return _score(oh_score, Kh, _BAND)
+
+
+def _combine_bands_max(s1, s2, p0r):
+    """Per-read (max, argmax-position) over both bands, full-scan order
+    (band-1 owned positions strictly precede band-2's)."""
+    m1 = jnp.max(s1, axis=1)
+    m2 = jnp.max(s2, axis=1)
+    a1 = jnp.argmax(s1, axis=1).astype(jnp.int32)
+    a2 = jnp.argmax(s2, axis=1).astype(jnp.int32) + p0r
+    use1 = m1 >= m2
+    return jnp.where(use1, m1, m2), jnp.where(use1, a1, a2)
+
+
 def _accumulate(weights, oh_count_cmajor, cfg):
-    """Soft/hard count accumulation: contract the read axis directly
-    ((N,Wp) x (N,5L) -> (Wp,5L); the MXU takes transposed lhs natively, an
-    explicit .T materialised a batched relayout under vmap) then per-c
-    diagonal folds -> (W,5)."""
-    cw = jax.lax.dot_general(
-        weights, oh_count_cmajor, (((0,), (0,)), ((), ())),
+    """Soft/hard count accumulation: contract the read axis with the
+    one-hots on the LHS so cw comes out TRANSPOSED ((N,5L) x (N,Wp) ->
+    (5L,Wp)) and the diagonal fold needs no relayout (_fold_counts_T)."""
+    cwT = jax.lax.dot_general(
+        oh_count_cmajor, weights, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return _fold_counts_cmajor(cw, cfg.L, cfg.W)
+    return _fold_counts_T(cwT, cfg.L, cfg.W)
 
 
 # Cascade constants.  Invariant: a row NOT selected at level k (total_k <=
@@ -868,24 +989,31 @@ def _place_partial(cfg, inst, model, probs, eprobs, track_orig):
                                     j < plen - cfg.clip_thresh)
     oh_score = _oh_flat_j(inst["pr"], jv_score)
     oh_count = _oh_flat_c(inst["pr"], jv_count)
-    legal = _legal_partial(cfg, inst, model)
     gap_zone = _gap_zone(inst, cfg)
+    p0l, p0r = _band_starts(cfg, inst["gap_len"])
+    leg1 = _legal_partial_band(cfg, inst, p0l, True)
+    leg2 = _legal_partial_band(cfg, inst, p0r, False)
 
-    lnP = band_score_soft(oh_score, probs, eprobs, model["e_fwd"], cfg.Wp)
-    lnP = jnp.where(legal, lnP, NEG)
-    soft = _accumulate_logw(LN10 * lnP, legal, oh_count, cfg)
+    ln1 = jnp.where(leg1, _score_soft_band(
+        oh_score, probs, eprobs, model["e_fwd"], p0l, cfg), NEG)
+    ln2 = jnp.where(leg2, _score_soft_band(
+        oh_score, probs, eprobs, model["e_fwd"], p0r, cfg), NEG)
+    soft = _soft_counts_banded(LN10 * ln1, leg1, LN10 * ln2, leg2, p0r,
+                               oh_count, cfg)
     counts = jnp.where(gap_zone[:, None], soft, _counts_flank(inst, cfg))
 
-    mx = jnp.max(lnP, axis=1)
+    mx, _ = _combine_bands_max(ln1, ln2, p0r)
     has = mx > NEG / 2
     ml_soft = _csum(jnp.where(has & inst["p_valid"], mx, 0.0))
 
     cons0, _ = consensus_from_counts(counts, gap_zone, 0, 0)
     gap_string = jnp.where(gap_zone, cons0, inst["tmpl"])
-    Kh = _hard_K(gap_string, model["a_fwd"], model["b_fwd"], model["ln_et"])
-    sh = jnp.where(legal, _score(oh_score, Kh, cfg.Wp), NEG)
-    mh = jnp.max(sh, axis=1)
-    pos_h = jnp.argmax(sh, axis=1).astype(jnp.int32) - cfg.WL
+    sh1 = jnp.where(leg1, _score_hard_band(oh_score, gap_string, model,
+                                           p0l, cfg), NEG)
+    sh2 = jnp.where(leg2, _score_hard_band(oh_score, gap_string, model,
+                                           p0r, cfg), NEG)
+    mh, arg_h = _combine_bands_max(sh1, sh2, p0r)
+    pos_h = arg_h - cfg.WL
     accept = (mh > NEG / 2) & (-mh / LN10 < cfg.gap_prob_cutoff) & inst["p_valid"]
     valid = jnp.sum(accept)
 
@@ -1251,21 +1379,32 @@ def finalize_partial_instance(cfg: FillConfig, inst, model, best_string,
                                     j < plen - cfg.clip_thresh)
     oh_score = _oh_flat_j(inst["pr"], jv_score)
     oh_count = _oh_flat_c(inst["pr"], jv_count)
-    legal = _legal_partial(cfg, inst, model)
-    Kh = _hard_K(gap_string, model["a_fwd"], model["b_fwd"], model["ln_et"])
-    sh = jnp.where(legal, _score(oh_score, Kh, cfg.Wp), NEG)
-    mh10 = jnp.max(sh, axis=1) / LN10
-    pos = jnp.argmax(sh, axis=1).astype(jnp.int32) - cfg.WL
+    p0l, p0r = _band_starts(cfg, inst["gap_len"])
+    leg1 = _legal_partial_band(cfg, inst, p0l, True)
+    leg2 = _legal_partial_band(cfg, inst, p0r, False)
+    sh1 = jnp.where(leg1, _score_hard_band(oh_score, gap_string, model,
+                                           p0l, cfg), NEG)
+    sh2 = jnp.where(leg2, _score_hard_band(oh_score, gap_string, model,
+                                           p0r, cfg), NEG)
+    mh, arg_h = _combine_bands_max(sh1, sh2, p0r)
+    mh10 = mh / LN10
+    pos = arg_h - cfg.WL
     r = jnp.arange(P)
     accept = (((mh10 > NEG / 2) & (-mh10 < cfg.gap_prob_cutoff))
               | (r == saved_l) | (r == saved_r)) & inst["p_valid"]
-    w_hard = (accept[:, None] & (jnp.arange(cfg.Wp)[None, :] ==
-                                 (pos + cfg.WL)[:, None])).astype(jnp.float32)
-    counts = _accumulate(w_hard, oh_count, cfg)
+    band = jnp.arange(_BAND)[None, :]
+    wh1 = (accept[:, None] & (arg_h < cfg.WL)[:, None]
+           & (band == arg_h[:, None])).astype(jnp.float32)
+    wh2 = (accept[:, None] & (arg_h >= cfg.WL)[:, None]
+           & (p0r + band == arg_h[:, None])).astype(jnp.float32)
+    counts = _assemble_bands(_accumulate_band(wh1, oh_count, cfg.L),
+                             _accumulate_band(wh2, oh_count, cfg.L),
+                             p0r, cfg)
     counts = jnp.where(gap_zone[:, None], counts, 0.0)
     # quality-weighted counts for check_update (5389)
     ohq = oh_count * jnp.tile(inst["p_qerr"], (1, 5))
-    qual = _accumulate(w_hard, ohq, cfg)
+    qual = _assemble_bands(_accumulate_band(wh1, ohq, cfg.L),
+                           _accumulate_band(wh2, ohq, cfg.L), p0r, cfg)
     qual = jnp.where(gap_zone[:, None], qual, 0.0)
 
     gl = inst["gap_len"]
