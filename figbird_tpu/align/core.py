@@ -569,7 +569,9 @@ class Aligner:
             self._cs_flatlen = jax.device_put(jnp.asarray(cs["flatlen"]), gshd)
             self._cs_codes = jax.device_put(jnp.asarray(cs["codes"]), gshd)
             self._cs_pos = jax.device_put(jnp.asarray(cs["pos"]), gshd)
-            self._cs_base_dev = jax.device_put(jnp.asarray(cs["base"]), gshd)
+            # int64 shard bases stay HOST-side only (globalizing positions
+            # in _collect_pass); a device copy would canonicalize to int32
+            # and wrap for genomes past 2^31 — the very case this path serves
             self._cs_base = np.asarray(cs["base"], np.int64)
             self._prefix_shift = None
             self._tables = {}
@@ -697,7 +699,7 @@ class Aligner:
             if self._contig_sharded:
                 res = self._cshard_fn(params)(
                     self._cs_flat2d, self._cs_flatlen, self._cs_codes,
-                    self._cs_pos, self._cs_base_dev, dev_chunk, dev_lens)
+                    self._cs_pos, dev_chunk, dev_lens)
             elif self._genome_sharded:
                 res = self._gshard_fn(params)(
                     self._flat2d, self._flatlen, self._gcodes, self._gpos,

@@ -111,17 +111,6 @@ def _csum(x: jnp.ndarray) -> jnp.ndarray:
     return (x + err)[0]
 
 
-def _onehot5(reads: jnp.ndarray, jvalid: jnp.ndarray) -> jnp.ndarray:
-    """(..., L) int8 -> (..., L, 5) f32 one-hot, zeroed outside the read.
-
-    NOTE: only for small/host-facing uses — a (P, L, 5) tensor tile-pads its
-    5-minor dim to 128 lanes on TPU (25x HBM); the EM hot path uses the flat
-    builders below instead.
-    """
-    oh = jnp.asarray(ONEHOT5)[reads]
-    return oh * jvalid[..., None].astype(jnp.float32)
-
-
 def _oh_flat_j(reads: jnp.ndarray, jvalid: jnp.ndarray) -> jnp.ndarray:
     """Flat j-major one-hot (..., L*5): column j*5+c == (read[j] == c).
 
@@ -214,27 +203,6 @@ def _hard_K(gap_string, e_match, e_mis, ln_et):
     return jnp.where((g >= 5)[:, None], 0.0, K)
 
 
-def _fold_slab(slab: jnp.ndarray, W: int) -> jnp.ndarray:
-    """slab (Wp, L) -> out (W,): out[p+j] += slab[p, j].
-
-    Inverse skew trick (no roll loop): transpose to (L, Wp), pad each row to
-    length Wp+L+1, then re-read with row length Wp+L so row j shifts right by
-    j; out-of-range diagonals land in the zero padding.  One pad + reshape +
-    sum instead of L rolls.
-    """
-    Wp, L = slab.shape
-    RL = Wp + L + 1
-    At = slab.T  # (L, Wp)
-    Ap = jnp.concatenate([At, jnp.zeros((L, L + 1), slab.dtype)], axis=1)
-    flat = Ap.reshape(L * RL)
-    skew = flat[: L * (RL - 1)].reshape(L, RL - 1)
-    return skew[:, :W].sum(axis=0)
-
-
-def _fold_counts_cmajor(cw: jnp.ndarray, L: int, W: int) -> jnp.ndarray:
-    """cw (Wp, 5*L) c-major window counts -> counts (W, 5):
-    counts[p+j, c] += cw[p, c*L+j]."""
-    return _fold_counts_T(cw.T, L, W)
 
 
 def _fold_counts_T(cwT: jnp.ndarray, L: int, W: int) -> jnp.ndarray:
@@ -470,7 +438,11 @@ def _score(oh_flat, K, Wp):
 # tie-breaks).
 # ---------------------------------------------------------------------------
 
-_BAND = 128
+def _band_w(cfg: FillConfig) -> int:
+    """Band width: the legal span at each gap edge is L-1 wide, rounded up
+    to the 128-lane tile (151-200 bp reads get a 256-wide band — the config
+    layer admits max_read_length up to 200)."""
+    return -(-cfg.L // 128) * 128
 
 
 def _band_starts(cfg: FillConfig, gap_len):
@@ -478,14 +450,15 @@ def _band_starts(cfg: FillConfig, gap_len):
 
     Band ownership: band 1 owns positions p < WL, band 2 owns p >= WL —
     complete and disjoint over all legal positions (see header note)."""
+    bw = _band_w(cfg)
     p0r = cfg.WL + jnp.maximum(gap_len - cfg.L + 1, 0)
-    p0r = jnp.minimum(p0r, cfg.W - (_BAND + cfg.L))  # keep the slab in-range
+    p0r = jnp.minimum(p0r, cfg.W - (bw + cfg.L))  # keep the slab in-range
     return jnp.int32(0), p0r.astype(jnp.int32)
 
 
 def _legal_partial_band(cfg: FillConfig, inst, p0, own_left: bool):
-    """Legality over band positions [p0, p0+_BAND) plus band ownership."""
-    p = p0 + jnp.arange(_BAND)[None, :]
+    """Legality over band positions [p0, p0+band_w) plus band ownership."""
+    p = p0 + jnp.arange(_band_w(cfg))[None, :]
     cpos = inst["gap_start"] - cfg.WL + p
     plen = inst["p_len"][:, None]
     left = ((inst["p_match"] == 1) | (inst["p_match"] == 4))[:, None]
@@ -504,11 +477,12 @@ def _legal_partial_band(cfg: FillConfig, inst, p0, own_left: bool):
 
 
 def _accumulate_band(weights, oh_count_cmajor, L: int):
-    """(P, _BAND) weights -> (_BAND+L, 5) band-local counts."""
+    """(P, band_w) weights -> (band_w+L, 5) band-local counts."""
+    bw = weights.shape[1]
     cwT = jax.lax.dot_general(
         oh_count_cmajor, weights, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    return _fold_counts_T(cwT, L, _BAND + L)
+    return _fold_counts_T(cwT, L, bw + L)
 
 
 def _assemble_bands(fold1, fold2, p0r, cfg: FillConfig):
@@ -516,7 +490,7 @@ def _assemble_bands(fold1, fold2, p0r, cfg: FillConfig):
     out = jnp.zeros((cfg.W, 5), jnp.float32)
     out = jax.lax.dynamic_update_slice(out, fold1, (0, 0))
     cur = jax.lax.dynamic_slice(out, (p0r, jnp.int32(0)),
-                                (_BAND + cfg.L, 5))
+                                (_band_w(cfg) + cfg.L, 5))
     return jax.lax.dynamic_update_slice(out, cur + fold2, (p0r, jnp.int32(0)))
 
 
@@ -549,17 +523,19 @@ def _soft_counts_banded(logw1, legal1, logw2, legal2, p0r, oh_c, cfg):
 def _score_soft_band(oh_score, probs, eprobs, e_pos, p0, cfg):
     """Fused soft score over one band: slice the (W,5) probability rows the
     band's K tile needs and run the compact kernel."""
+    bw = _band_w(cfg)
     pr_sl = jax.lax.dynamic_slice(probs, (p0, jnp.int32(0)),
-                                  (_BAND + cfg.L, 5))
+                                  (bw + cfg.L, 5))
     ep_sl = jax.lax.dynamic_slice(eprobs, (p0, jnp.int32(0)),
-                                  (_BAND + cfg.L, 5))
-    return band_score_soft(oh_score, pr_sl, ep_sl, e_pos, _BAND)
+                                  (bw + cfg.L, 5))
+    return band_score_soft(oh_score, pr_sl, ep_sl, e_pos, bw)
 
 
 def _score_hard_band(oh_score, gap_string, model, p0, cfg):
-    gs_sl = jax.lax.dynamic_slice(gap_string, (p0,), (_BAND + cfg.L,))
+    bw = _band_w(cfg)
+    gs_sl = jax.lax.dynamic_slice(gap_string, (p0,), (bw + cfg.L,))
     Kh = _hard_K(gs_sl, model["a_fwd"], model["b_fwd"], model["ln_et"])
-    return _score(oh_score, Kh, _BAND)
+    return _score(oh_score, Kh, bw)
 
 
 def _combine_bands_max(s1, s2, p0r):
@@ -601,7 +577,7 @@ def _accumulate_logw(logw, legal, oh_count_cmajor, cfg: FillConfig):
     """Soft-count accumulation from natural-log weights with double range.
 
     ``cfg.exact_soft=False``: plain f32 (weights below ~1e-38 vanish; the
-    fast production path).  ``True``: a 5-level scaled cascade — level k
+    fast production path).  ``True``: a 6-level scaled cascade — level k
     accumulates exp(logw + k*SHIFT) with overflowing contributions zeroed,
     and each output row takes the SHALLOWEST level whose row total exceeds
     TAU (see invariant above).  Downstream consumers (computeProbsGap
@@ -628,8 +604,6 @@ def _accumulate_logw(logw, legal, oh_count_cmajor, cfg: FillConfig):
 
 
 def _detect_overlap_partial(cfg, inst, accept, pos_gap, bonus_cap=None):
-    if bonus_cap is None:
-        bonus_cap = min(cfg.bonus_cap, cfg.P)
     """detect_overlap_gapestimate (2513-2779), vectorised.
 
     Returns (bonus_value, saved_left, saved_right) where bonus follows the
@@ -646,6 +620,8 @@ def _detect_overlap_partial(cfg, inst, accept, pos_gap, bonus_cap=None):
     the first-maximum saved pair matches the reference's scan order; the
     capped production path keeps extreme reads per side.
     """
+    if bonus_cap is None:
+        bonus_cap = min(cfg.bonus_cap, cfg.P)
     pr, p_len, p_match, p_valid = (
         inst["pr"], inst["p_len"], inst["p_match"], inst["p_valid"])
     gl = inst["gap_len"]
@@ -1392,7 +1368,7 @@ def finalize_partial_instance(cfg: FillConfig, inst, model, best_string,
     r = jnp.arange(P)
     accept = (((mh10 > NEG / 2) & (-mh10 < cfg.gap_prob_cutoff))
               | (r == saved_l) | (r == saved_r)) & inst["p_valid"]
-    band = jnp.arange(_BAND)[None, :]
+    band = jnp.arange(_band_w(cfg))[None, :]
     wh1 = (accept[:, None] & (arg_h < cfg.WL)[:, None]
            & (band == arg_h[:, None])).astype(jnp.float32)
     wh2 = (accept[:, None] & (arg_h >= cfg.WL)[:, None]

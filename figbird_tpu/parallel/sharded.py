@@ -1,10 +1,10 @@
 """Sharded execution of the three device stages.
 
-* ``sharded_align`` — 2-D (reads x genome) shard_map: every device aligns its
-  read shard against its k-mer table shard, then the per-shard bests combine
-  across the ``genome`` axis with an all-gather + local argmax (the winning
-  shard's candidate wins; scores are comparable across shards because the
-  scoring model is shared).  Collectives ride ICI.
+* ``make_genome_sharded_align`` / ``make_contig_sharded_align`` — 2-D
+  (reads x genome) shard_map aligners: every device aligns its read shard
+  against its k-mer table (code-range) or flat-genome (contig-range) shard,
+  then per-shard bests combine across ``genome`` with an all-gather +
+  tie-break-exact argmax.  Collectives ride ICI.
 * ``sharded_fill`` — gap/length instances shard along ``reads`` (pure data
   parallel; no cross-instance communication).
 * ``psum_stats`` — model sufficient statistics all-reduce (replaces every
@@ -33,56 +33,9 @@ def shard_map(f, mesh, in_specs, out_specs):
         return _shard_map_raw(f, mesh=mesh, in_specs=in_specs,
                               out_specs=out_specs)
 
-from ..align.core import AlignParams, _align_one_strand, _revcomp_batch, as_rows
+from ..align.core import AlignParams, _revcomp_batch, as_rows
 from ..fill.em import FillConfig, em_partial_instance, em_unmapped_instance
 
-
-def sharded_align(mesh: Mesh, flat, sorted_codes, sorted_pos, reads, lengths,
-                  k: int, params: AlignParams):
-    """Align reads over a (reads, genome) mesh.
-
-    ``flat`` is replicated (small relative to the table); ``sorted_codes`` /
-    ``sorted_pos`` are sharded along the genome axis (pre-split by code range
-    so binary search stays valid per shard); reads shard along the reads axis.
-    """
-
-    def local(flat2d_, flatlen_, codes_, pos_, reads_, lengths_):
-        # code-range-sharded tables use the searchsorted fallback path
-        tables = dict(sorted_codes=codes_, sorted_pos=pos_)
-        fwd = _align_one_strand(flat2d_, flatlen_, tables, reads_,
-                                lengths_, k, params, None)
-        rc = _revcomp_batch(reads_, lengths_)
-        rev = _align_one_strand(flat2d_, flatlen_, tables, rc,
-                                lengths_, k, params, None)
-        use_rev = rev["score"] > fwd["score"]
-        best = {kk: jnp.where(use_rev, rev[kk], fwd[kk])
-                for kk in ("score", "pos", "start", "end", "n_mis")}
-        best["strand"] = use_rev.astype(jnp.int32)
-        best["second"] = jnp.maximum(
-            jnp.where(use_rev, rev["second"], fwd["second"]),
-            jnp.where(use_rev, fwd["score"], rev["score"]))
-        # combine across genome shards: gather per-shard bests, pick max score
-        stacked = {kk: jax.lax.all_gather(v, "genome") for kk, v in best.items()}
-        win = jnp.argmax(stacked["score"], axis=0)
-        out = {kk: jnp.take_along_axis(v, win[None, :], axis=0)[0]
-               for kk, v in stacked.items()}
-        # runner-up across shards for uniqueness
-        masked = jnp.where(
-            jnp.arange(stacked["score"].shape[0])[:, None] == win[None, :],
-            stacked["second"], stacked["score"])
-        out["second"] = jnp.max(masked, axis=0)
-        return out
-
-    fn = shard_map(
-        local, mesh=mesh,
-        in_specs=(P(), P(), P("genome"), P("genome"), P("reads", None),
-                  P("reads")),
-        out_specs={kk: P("reads") for kk in
-                   ("score", "pos", "start", "end", "n_mis", "strand", "second")},
-    )
-    flat = jnp.asarray(flat)
-    return fn(jnp.asarray(as_rows(flat)), jnp.int32(flat.shape[0]),
-              sorted_codes, sorted_pos, reads, lengths)
 
 
 def sharded_fill(mesh: Mesh, cfg: FillConfig, insts, model,
@@ -96,7 +49,7 @@ def sharded_fill(mesh: Mesh, cfg: FillConfig, insts, model,
             fn = lambda i: em_unmapped_instance(cfg, i, model_, finalize_flag)
         return jax.vmap(fn)(insts_)
 
-    sample = local  # specs: every inst array sharded on axis 0
+    # specs: every inst array sharded on axis 0, model replicated
     in_specs = ({kk: P("reads") for kk in insts}, {kk: P() for kk in model})
     # probe output structure once (cheap: eval_shape)
     out_shape = jax.eval_shape(local, insts, model)
@@ -106,10 +59,14 @@ def sharded_fill(mesh: Mesh, cfg: FillConfig, insts, model,
 
 
 def psum_stats(mesh: Mesh, per_shard_hist):
-    """All-reduce model sufficient statistics across both mesh axes."""
+    """All-reduce model sufficient statistics over the reads axis.
+
+    The input is replicated along ``genome`` (every genome shard sees the
+    same read shard's statistics), so only the reads axis sums — a second
+    psum over genome would multiply the totals by the shard count."""
 
     def local(h):
-        return jax.lax.psum(jax.lax.psum(h, "reads"), "genome")
+        return jax.lax.psum(h, "reads")
 
     fn = shard_map(local, mesh=mesh, in_specs=P("reads"),
                    out_specs=P())
@@ -311,7 +268,7 @@ def make_contig_sharded_align(mesh: Mesh, k: int, params):
         best["second"] = jnp.max(others, axis=-1)
         return best
 
-    def local(flat2d, flatlen, codes, pos, base, reads, lengths):
+    def local(flat2d, flatlen, codes, pos, reads, lengths):
         B, L = reads.shape
         gi = jax.lax.axis_index("genome")
         flatlen_s = flatlen[0]
@@ -391,7 +348,7 @@ def make_contig_sharded_align(mesh: Mesh, k: int, params):
             for kk, v in res.items()}
         return res
 
-    def fn(flat2d, flatlen, codes, pos, base, reads, lengths):
+    def fn(flat2d, flatlen, codes, pos, reads, lengths):
         keys = ["score", "e2e", "start", "end", "n_mis", "pos", "cand_i",
                 "hit_overflow", "strand", "second", "shard", "aligned",
                 "alen", "clip_start", "clip_end", "unique", "packed"]
@@ -400,10 +357,10 @@ def make_contig_sharded_align(mesh: Mesh, k: int, params):
         out_specs = {kk: P("reads") for kk in keys}
         m = shard_map(local, mesh=mesh,
                       in_specs=(P("genome"), P("genome"), P("genome"),
-                                P("genome"), P("genome"), P("reads", None),
+                                P("genome"), P("reads", None),
                                 P("reads")),
                       out_specs=out_specs)
-        return m(flat2d, flatlen, codes, pos, base, reads, lengths)
+        return m(flat2d, flatlen, codes, pos, reads, lengths)
 
     return jax.jit(fn)
 

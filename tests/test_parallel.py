@@ -60,9 +60,9 @@ def test_psum_stats_reduces():
     n_rd = mesh.shape["reads"]
     per = np.arange(n_rd * 16, dtype=np.float32).reshape(n_rd * 4, 4)
     total = np.asarray(psum_stats(mesh, jnp.asarray(per)))
-    # replicated output == sum of every shard's (4,4) block (x genome axis,
-    # which replicates the input here)
-    expect = per.reshape(n_rd, 4, 4).sum(axis=0) * mesh.shape["genome"]
+    # replicated output == sum of every read shard's (4,4) block (the genome
+    # axis holds replicas and must NOT inflate the total)
+    expect = per.reshape(n_rd, 4, 4).sum(axis=0)
     assert total.shape == (4, 4)
     np.testing.assert_allclose(total, expect)
 
