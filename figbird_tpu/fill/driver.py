@@ -1024,7 +1024,8 @@ def fill_gaps(
             ib = -(-ib // nrd) * nrd
         _fill_bucket(genome, plans, gids, cfg, marr, large, partial_mode,
                      ib, scan_block, out_strings, placements, stats,
-                     second_best, mesh=mesh)
+                     second_best, mesh=mesh,
+                     staged_scan=not reference_exact)
     logger.info("fill timers: %s scan_instances=%d",
                 {k: v for k, v in stats.items() if k.startswith("t_")},
                 stats.get("scan_instances", 0))
@@ -1035,7 +1036,7 @@ def fill_gaps(
 
 def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
                  instance_batch, scan_block, out_strings, placements, stats,
-                 second_best=None, mesh=None):
+                 second_best=None, mesh=None, staged_scan=True):
     """Scan + winner re-run + finalize for one shape bucket.
 
     Tunnel-aware phasing: every D2H transfer pays a ~0.3 s fixed cost on a
@@ -1071,17 +1072,39 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
         put_i = lambda x: None if x is None else _jax.device_put(x, _shd)
     else:
         put_i = lambda x: x
-    run_scan = lambda gi_, gl_: fill_batch_scan(
-        cfg, gap_arrays, put_i(gi_), put_i(gl_), marr,
-        finalize_flag=large_flag)
+    # converge-or-escalate staging for the unmapped EM while-loop: a batch
+    # runs until its SLOWEST lane converges (comp stable 5x) or hits the
+    # cap, so most dispatches pay tail-lane depth.  Stage 1 runs everyone
+    # with an 8-iteration cap; lanes that bail re-run from scratch at the
+    # full cap — identical trajectories, so converged-lane outputs are
+    # bit-equal to a single full-cap pass.  reference_exact skips staging.
+    STAGE_ITERS = 8
+    staged = (not partial_mode and staged_scan
+              and cfg.em_iters > STAGE_ITERS)
+    cfg_fast = None
+    if staged:
+        from dataclasses import replace as _replace_cfg
+
+        cfg_fast = _replace_cfg(cfg, em_iters=STAGE_ITERS)
+
+    def run_scan(gi_, gl_, full=True):
+        c = cfg if (full or cfg_fast is None) else cfg_fast
+        return fill_batch_scan(c, gap_arrays, put_i(gi_), put_i(gl_), marr,
+                               finalize_flag=large_flag)
+
     # checkGapReads probes run with finalize extras ON but no large-gap
     # break (run(i,fp,g,1,1) — Figbird.cpp:6097)
-    run_probe = lambda gi_, gl_: fill_batch_scan(
-        cfg, gap_arrays, put_i(gi_), put_i(gl_), marr, finalize_flag=True,
-        large_break=False)
-    run_full = lambda gi_, gl_: fill_batch_full_packed(
-        cfg, gap_arrays, put_i(gi_), put_i(gl_), marr,
-        finalize_flag=large_flag)
+    def run_probe(gi_, gl_, full=True):
+        c = cfg if (full or cfg_fast is None) else cfg_fast
+        return fill_batch_scan(c, gap_arrays, put_i(gi_), put_i(gl_), marr,
+                               finalize_flag=True, large_break=False)
+
+    def run_full_fn(gi_, gl_, full=True):
+        c = cfg if (full or cfg_fast is None) else cfg_fast
+        return fill_batch_full_packed(c, gap_arrays, put_i(gi_), put_i(gl_),
+                                      marr, finalize_flag=large_flag)
+
+    run_full = run_full_fn
     run_fin = lambda gi_, gl_, bs, sv, svl, svr: finalize_batch_packed(
         cfg, gap_arrays, put_i(gi_), put_i(gl_), marr, put_i(bs), put_i(sv),
         put_i(svl), put_i(svr))
@@ -1098,22 +1121,43 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
         """Dispatch a wave of scan instances; one list fetch (the packed
         (IB, 8) outputs are tiny, and a donated device accumulator measured
         3x SLOWER on the tunnel backend — donation serialises dispatches).
+        With staging on, unmapped instances run the 8-iteration program
+        first and only bailed lanes pay the full-cap program.
         Returns (n, 8)."""
         _td = _time.time()
         fn = run_probe if probe else run_scan
         out_parts = []
         for c0 in range(0, len(rows), nb):
             gi_, gl_ = _pad_chunk(rows[c0 : c0 + nb], lens[c0 : c0 + nb])
-            out_parts.append(fn(gi_, gl_))
+            out_parts.append(fn(gi_, gl_, full=not staged))
         stats["t_scan_disp"] = stats.get("t_scan_disp", 0) + round(
             _time.time() - _td, 3)
         _td = _time.time()
         host = np.concatenate([np.asarray(b) for b in
-                               jax.device_get(out_parts)])
+                               jax.device_get(out_parts)])[: len(rows)]
         stats["t_scan_get"] = stats.get("t_scan_get", 0) + round(
             _time.time() - _td, 3)
         stats["scan_instances"] += len(rows)
-        return host[: len(rows)]
+        if staged:
+            bailed = np.flatnonzero(host[:, 7] != 0)
+            if bailed.size:
+                _td = _time.time()
+                parts2 = []
+                rows_b = [rows[i] for i in bailed]
+                lens_b = [lens[i] for i in bailed]
+                for c0 in range(0, len(rows_b), nb):
+                    gi_, gl_ = _pad_chunk(rows_b[c0 : c0 + nb],
+                                          lens_b[c0 : c0 + nb])
+                    parts2.append(fn(gi_, gl_, full=True))
+                host2 = np.concatenate([np.asarray(b) for b in
+                                        jax.device_get(parts2)]
+                                       )[: len(rows_b)]
+                host[bailed] = host2
+                stats["t_scan_esc"] = stats.get("t_scan_esc", 0) + round(
+                    _time.time() - _td, 3)
+                stats["scan_escalated"] = stats.get("scan_escalated", 0) \
+                    + int(bailed.size)
+        return host
 
     # ---- read-count probe for small unmapped gaps (checkGapReads) --------
     if not partial_mode:
@@ -1255,19 +1299,32 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
             rr_rows.append(row_of[gi])
             rr_lens.append(ln)
             rr_key.append((gi, tag, ln))
-    rr_dev = []
     _td = _time.time()
     # 2-3 instances per gap: pad to a small fixed batch
     nbr = min(nb, 256)
-    for c0 in range(0, len(rr_rows), nbr):
-        r = list(rr_rows[c0 : c0 + nbr])
-        le = list(rr_lens[c0 : c0 + nbr])
-        pad = nbr - len(r)
-        gi_ = jnp.asarray(np.asarray(r + [0] * pad, np.int32))
-        gl_ = jnp.asarray(np.asarray(le + [1] * pad, np.int32))
-        rr_dev.append(run_full(gi_, gl_))
-    rr_host = np.concatenate([np.asarray(x) for x in jax.device_get(rr_dev)]
-                             )[: len(rr_rows)] if rr_dev else np.zeros((0, 1))
+
+    def _rr_dispatch(rows_, lens_, full):
+        devs = []
+        for c0 in range(0, len(rows_), nbr):
+            r = list(rows_[c0 : c0 + nbr])
+            le = list(lens_[c0 : c0 + nbr])
+            pad = nbr - len(r)
+            gi_ = jnp.asarray(np.asarray(r + [0] * pad, np.int32))
+            gl_ = jnp.asarray(np.asarray(le + [1] * pad, np.int32))
+            devs.append(run_full(gi_, gl_, full=full))
+        if not devs:
+            return np.zeros((0, 1))
+        return np.concatenate([np.asarray(x) for x in
+                               jax.device_get(devs)])[: len(rows_)]
+
+    rr_host = _rr_dispatch(rr_rows, rr_lens, full=not staged)
+    if staged and len(rr_rows):
+        bcol = lay["bailed"][0]
+        bailed = np.flatnonzero(rr_host[:, bcol] != 0)
+        if bailed.size:
+            rr_host[bailed] = _rr_dispatch([rr_rows[i] for i in bailed],
+                                           [rr_lens[i] for i in bailed],
+                                           full=True)
     stats["t_rerun"] = stats.get("t_rerun", 0) + round(_time.time() - _td, 3)
     rr = {}
     for t, (gi, tag, ln) in enumerate(rr_key):

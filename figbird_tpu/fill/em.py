@@ -1031,24 +1031,45 @@ def em_partial_instance(cfg: FillConfig, inst, model):
     )
 
 
-def _place_unmapped(cfg, inst, model, probs, eprobs, finalize_flag: bool):
+def _unmapped_prep(cfg, inst, model):
+    """Loop-invariant tensors of the unmapped EM body, hoisted OUT of the
+    while loop: the read one-hots, legality, and especially the insert
+    prior — an (R, Wp) element gather from ln_ins that XLA does NOT hoist
+    out of while bodies and that dominated every EM iteration (minor-axis
+    gathers are ~60x slow on TPU)."""
     R, L = inst["ur"].shape
     j = jnp.arange(L)[None, :]
     jv = j < inst["u_len"][:, None]
-    oh = _oh_flat_j(inst["ur"], jv)
-    oh_cnt = _oh_flat_c(inst["ur"], jv)
     legal, t_ins = _legal_unmapped(cfg, inst, model)
+    return dict(
+        oh=_oh_flat_j(inst["ur"], jv),
+        oh_cnt=_oh_flat_c(inst["ur"], jv),
+        legal=legal,
+        prior=model["ln_ins"][t_ins],
+        rev=(inst["u_rev"] == 1)[:, None],
+        flank=_counts_flank(inst, cfg),
+    )
+
+
+def _place_unmapped(cfg, inst, model, probs, eprobs, finalize_flag: bool,
+                    prep=None):
+    R, L = inst["ur"].shape
+    if prep is None:
+        prep = _unmapped_prep(cfg, inst, model)
+    oh = prep["oh"]
+    oh_cnt = prep["oh_cnt"]
+    legal = prep["legal"]
+    prior = prep["prior"]
+    rev = prep["rev"]
     gap_zone = _gap_zone(inst, cfg)
-    prior = model["ln_ins"][t_ins]  # (R,Wp) natural log of smoothed pmf
 
     # soft pass: two strand groups for the cycle-indexed error rate
     ln_f = band_score_soft(oh, probs, eprobs, model["e_fwd"], cfg.Wp)
     ln_r = band_score_soft(oh, probs, eprobs, model["e_rev"], cfg.Wp)
-    rev = (inst["u_rev"] == 1)[:, None]
     lnP = jnp.where(rev, ln_r, ln_f) + prior
     lnP = jnp.where(legal, lnP, NEG)
     soft = _accumulate_logw(0.5 * lnP / LN10, legal, oh_cnt, cfg)
-    counts = jnp.where(gap_zone[:, None], soft, _counts_flank(inst, cfg))
+    counts = jnp.where(gap_zone[:, None], soft, prep["flank"])
 
     mx10 = jnp.max(lnP, axis=1) / LN10
 
@@ -1140,6 +1161,9 @@ def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool,
     stp_w = jnp.zeros((cfg.W, 5)).at[cfg.WL : cfg.WL + cfg.max_gap_len].set(stp)
     probs0 = jnp.where(gap_zone[:, None], stp_w, probs0)
     eprobs0 = compute_error_probs_gap(probs0, model["et"])
+    # loop-invariant read tensors + insert prior, hoisted out of the body
+    # (closed over — NOT part of the carry, so XLA treats them as constants)
+    prep = _unmapped_prep(cfg, inst, model)
 
     prev_cons = jnp.full((cfg.max_gap_len,), -1, jnp.int8)
     R = inst["ur"].shape[0]
@@ -1157,7 +1181,7 @@ def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool,
 
     def body(s):
         out = _place_unmapped(cfg, inst, model, s["probs"], s["eprobs"],
-                              finalize_flag)
+                              finalize_flag, prep=prep)
         gc = jax.lax.dynamic_slice(out["cons2"], (cfg.WL,), (cfg.max_gap_len,))
         same = jnp.all(gc == s["prev"])
         comp = jnp.where(same, s["comp"] + 1, 0)
@@ -1188,7 +1212,8 @@ def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool,
 
     if not finalize_flag:
         # one finalize-mode placeReads after convergence (6348-6352)
-        out = _place_unmapped(cfg, inst, model, s["probs"], s["eprobs"], True)
+        out = _place_unmapped(cfg, inst, model, s["probs"], s["eprobs"], True,
+                              prep=prep)
         s = dict(s, likelihood=out["likelihood"], accept=out["accept"],
                  pos=out["pos"], valid=out["valid"], counts=out["counts"],
                  region_perct=out["region_perct"], discont=out["discont"])
@@ -1209,6 +1234,10 @@ def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool,
         region_perct=s["region_perct"], discont=s["discont"],
         ucoverf=ucoverf, umaxleftf=umaxleftf, umaxrightf=umaxrightf,
         iters=s["it"],
+        # hit the iteration cap without converging: the converge-or-escalate
+        # scan staging re-runs these instances at the full cap (from-scratch
+        # recompute => bit-identical trajectories for converged lanes)
+        bailed=(~s["done"]) & (s["it"] >= cfg.em_iters),
     )
 
 
@@ -1416,7 +1445,7 @@ def finalize_batch(cfg: FillConfig, insts, model, best_strings, saved,
 # ===========================================================================
 
 SCAN_COLS = 8  # lik, valid, discont, ucoverf, umaxleftf, umaxrightf,
-               # region_perct, pad
+               # region_perct, bailed (unmapped EM hit its cap unconverged)
 
 
 @functools.partial(jax.jit,
@@ -1432,7 +1461,7 @@ def fill_batch_scan(cfg: FillConfig, gap_arrays, gap_idx, gap_len, model,
     f = lambda kk: out[kk].astype(jnp.float32) if kk in out else z
     cols = [out["likelihood"].astype(jnp.float32), f("valid"), f("discont"),
             f("ucoverf"), f("umaxleftf"), f("umaxrightf"),
-            f("region_perct"), z]
+            f("region_perct"), f("bailed")]
     return jnp.stack(cols, axis=1)
 
 
@@ -1463,7 +1492,8 @@ def fill_batch_full_packed(cfg: FillConfig, gap_arrays, gap_idx, gap_len,
              out["pos"].astype(jnp.float32),
              g("saved_l")[:, None] if "saved_l" in out else z[:, None],
              g("saved_r")[:, None] if "saved_r" in out else z[:, None],
-             g("region_perct")[:, None]]
+             g("region_perct")[:, None],
+             g("bailed")[:, None] if "bailed" in out else z[:, None]]
     return jnp.concatenate(parts, axis=1)
 
 
@@ -1474,7 +1504,7 @@ def full_packed_layout(cfg: FillConfig) -> dict:
     at = 0
     for name, width in (("consensus", cfg.max_gap_len), ("accept", nr),
                         ("pos", nr), ("saved_l", 1), ("saved_r", 1),
-                        ("region_perct", 1)):
+                        ("region_perct", 1), ("bailed", 1)):
         o[name] = (at, at + width)
         at += width
     o["_total"] = at
