@@ -347,11 +347,15 @@ def _pack_out(out: dict, read_len: int = 0) -> jnp.ndarray:
       w3: alen(u16) | clip_start(u8)<<16 | clip_end(u8)<<24
 
     Requires read length <= 255 (clips/n_mis in u8); longer reads fall back
-    to the wide 12-word layout (static branch on shape).
+    to the wide 12-word layout (static branch on shape), plus a 13th shard
+    column for contig-sharded aligners (ADVICE r4 #3 — without it the
+    shard-local positions would be globalized as if already global).
     """
     if read_len > 255:
-        return jnp.stack([out[k].astype(jnp.int32) for k in PACK_KEYS],
-                         axis=1)
+        cols = [out[k].astype(jnp.int32) for k in PACK_KEYS]
+        if out.get("shard") is not None:
+            cols.append(out["shard"].astype(jnp.int32))
+        return jnp.stack(cols, axis=1)
 
     def u8(x):
         return jnp.clip(x.astype(jnp.int32), 0, 255)
@@ -377,7 +381,7 @@ def _pack_out(out: dict, read_len: int = 0) -> jnp.ndarray:
 
 
 def unpack_out(packed: np.ndarray) -> dict:
-    if packed.shape[1] != 4:  # wide fallback layout
+    if packed.shape[1] != 4:  # wide fallback layout (+ optional shard col)
         out = {}
         for i, k in enumerate(PACK_KEYS):
             v = packed[:, i]
@@ -386,6 +390,8 @@ def unpack_out(packed: np.ndarray) -> dict:
             elif k == "strand":
                 v = v.astype(np.int8)
             out[k] = v
+        if packed.shape[1] > len(PACK_KEYS):
+            out["shard"] = packed[:, len(PACK_KEYS)].astype(np.int32)
         return out
     pu = packed.astype(np.uint32)
 
@@ -483,6 +489,25 @@ def align_batch_device(flat2d, flatlen, tables, reads,
     return out
 
 
+def _host_flat_budget() -> int:
+    """Replicated host-global flat budget in bases (int8 = 1 byte/base).
+
+    Hard cap at int32 positions (2^31); env-tunable below that for chips
+    with less free HBM (FIGBIRD_HOST_FLAT_BUDGET, bytes)."""
+    import os as _os
+
+    env = _os.environ.get("FIGBIRD_HOST_FLAT_BUDGET")
+    budget = int(env) if env else 6 * 2**30
+    return min(2**31, budget)
+
+
+def host_flat_ok(n_bases: int) -> bool:
+    """Whether a host-global flat of n_bases can be replicated on device
+    (int32 positions + HBM budget).  Pipeline uses this to decide whether
+    device model stats will be available (else it keeps the mismatch mask)."""
+    return n_bases < _host_flat_budget()
+
+
 class Aligner:
     """Host-facing aligner: holds device copies of the index and batches reads.
 
@@ -506,6 +531,9 @@ class Aligner:
         self.index = index
         self.params = params
         self.indel_tier = indel_tier
+        # False once the contig-sharded path skips the replicated host
+        # flat (see __init__ tail): device stats/banded tiers unavailable
+        self.supports_device_stats = True
         self.indel_min_clip = indel_min_clip
         self.indel_win_margin = indel_win_margin
         if banded_params is None:
@@ -575,12 +603,26 @@ class Aligner:
             self._cs_base = np.asarray(cs["base"], np.int64)
             self._prefix_shift = None
             self._tables = {}
-            # replicated host-global flat for the banded tier / stats passes
-            # (skipped automatically when it would not fit — genomes beyond
-            # ~8 GB use the host collect_stats fallback)
-            self._flat2d = jax.device_put(jnp.asarray(as_rows(index.flat)),
-                                          self._rep)
-            self._flatlen = jnp.int32(min(len(index.flat), 2**31 - 1))
+            # replicated host-global flat for the banded tier / stats passes.
+            # Genomes past int32 flat positions (or the HBM budget) CANNOT
+            # use it — device positions are int32 and would wrap (ADVICE r4
+            # #2) — so it is skipped: the banded indel tier is disabled and
+            # keep_stats attaches no handle, routing model learning to the
+            # host collect_stats path (pipeline._learn_model_host).
+            if host_flat_ok(len(index.flat)):
+                self._flat2d = jax.device_put(
+                    jnp.asarray(as_rows(index.flat)), self._rep)
+                self._flatlen = jnp.int32(len(index.flat))
+            else:
+                self.supports_device_stats = False
+                logger.warning(
+                    "contig-sharded aligner: flat genome (%d bases) exceeds "
+                    "the replicated int32/HBM budget; banded indel tier and "
+                    "device model stats disabled (host fallbacks used)",
+                    len(index.flat))
+                self._flat2d = None
+                self._flatlen = None
+                self.indel_tier = False
             return
         self._flat2d = jnp.asarray(as_rows(index.flat))
         self._flatlen = jnp.int32(len(index.flat))
@@ -834,7 +876,7 @@ class Aligner:
                         _time.time() - _t3,
                         [int(p[0].size) for p in pend])
 
-        if keep_stats:
+        if keep_stats and self.supports_device_stats:
             for out, h in zip(outs, handles):
                 out["stats_handle"] = h
         return outs
@@ -851,6 +893,11 @@ class Aligner:
         """
         import jax as _jax
 
+        if self._flat2d is None:
+            raise RuntimeError(
+                "device stats unavailable: contig-sharded aligner skipped "
+                "the replicated host flat (genome past int32/HBM budget); "
+                "use the host collect_stats path")
         bs = self.batch_size
         outs = []
         n_args = len(per_read_args)

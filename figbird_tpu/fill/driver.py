@@ -683,7 +683,11 @@ def _detect_overlap_host(plan: GapPlan, accept, pos, gap_len,
         r_min = gap_len
 
     def _lflank_ok(k, thresh, min_len):
-        """find_partial_match(gap_left, get_read_frag(read, p<0), 0, ...)."""
+        """find_partial_match(gap_left, get_read_frag(read, p<0), 0, ...).
+
+        The perfect-read gate (min_len 8) uses <= thresh, the pair gate
+        (min_len 4) strict < — mirroring the device _flank_frac's
+        0.08 / (0.2 - eps) handling (ADVICE r4 #4: thresh is now used)."""
         p, s = int(pos[k]), seqs[k]
         f = min(-p, sl)
         if f < min_len or len(lf) < f:
@@ -692,7 +696,7 @@ def _detect_overlap_host(plan: GapPlan, accept, pos, gap_len,
         if len(frag) != f:
             return False
         frac = (lf[-f:] != frag).mean()
-        return frac <= 0.08 if min_len == 8 else frac < 0.2
+        return frac <= thresh if min_len == 8 else frac < thresh
 
     def _rflank_ok(k, thresh, min_len):
         p, s = int(pos[k]), seqs[k]
@@ -704,7 +708,7 @@ def _detect_overlap_host(plan: GapPlan, accept, pos, gap_len,
             return False
         frag = s[startr : startr + f]
         frac = (rf[:f] != frag).mean()
-        return frac <= 0.08 if min_len == 8 else frac < 0.2
+        return frac <= thresh if min_len == 8 else frac < thresh
 
     # perfect spanning read (2604-2624) + checkMIM flag (2638)
     for k in range(P):
@@ -929,11 +933,18 @@ def fill_gaps(
     from the reference's exhaustive behaviour: the candidate-length scan cap
     (``max_scan_lengths``), the overlap-bonus pair cap, and f32 soft-count
     underflow (``exact_soft`` cascade) — used by the golden parity tests.
-    ``exact_soft`` alone can be forced on/off to isolate the precision mode
+
+    ``exact_soft``: ``None`` (production default) = lazy precision — the
+    fast f32 path runs with underflow-risk detection and only flagged
+    instances re-run with the exact cascade, so outputs are bit-identical
+    to ``exact_soft=True`` at near-fast cost (VERDICT r4 #1); ``True`` =
+    every instance pays the cascade; ``False`` = fast only, no detection
     (bench.py's cap-vs-precision attribution).
     """
     if exact_soft is None:
-        exact_soft = reference_exact
+        exact_soft = True if reference_exact else "auto"
+    prec_escalate = exact_soft == "auto"
+    use_exact_soft = exact_soft is True
     if reference_exact:
         max_scan_lengths = 0
         em_iters_unmapped = 200  # reference num_itr (Figbird.cpp:6225)
@@ -1011,7 +1022,8 @@ def fill_gaps(
             insert_tmin=int(model.insert_threshold_min),
             insert_tmax=int(model.insert_threshold_max),
             bonus_cap=pb if reference_exact else 24,
-            exact_soft=exact_soft,
+            exact_soft=use_exact_soft,
+            detect_prec=prec_escalate,
         )
         # memory-capped instance batch: live bytes per instance scale with
         # read count x (read one-hots + two (P, Wp) weight mats); cap the
@@ -1025,7 +1037,8 @@ def fill_gaps(
         _fill_bucket(genome, plans, gids, cfg, marr, large, partial_mode,
                      ib, scan_block, out_strings, placements, stats,
                      second_best, mesh=mesh,
-                     staged_scan=not reference_exact)
+                     staged_scan=not reference_exact,
+                     prec_escalate=prec_escalate)
     logger.info("fill timers: %s scan_instances=%d",
                 {k: v for k, v in stats.items() if k.startswith("t_")},
                 stats.get("scan_instances", 0))
@@ -1036,7 +1049,8 @@ def fill_gaps(
 
 def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
                  instance_batch, scan_block, out_strings, placements, stats,
-                 second_best=None, mesh=None, staged_scan=True):
+                 second_best=None, mesh=None, staged_scan=True,
+                 prec_escalate=False):
     """Scan + winner re-run + finalize for one shape bucket.
 
     Tunnel-aware phasing: every D2H transfer pays a ~0.3 s fixed cost on a
@@ -1076,60 +1090,122 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
     # runs until its SLOWEST lane converges (comp stable 5x) or hits the
     # cap, so most dispatches pay tail-lane depth.  Stage 1 runs everyone
     # with an 8-iteration cap; lanes that bail re-run from scratch at the
-    # full cap — identical trajectories, so converged-lane outputs are
-    # bit-equal to a single full-cap pass.  reference_exact skips staging.
+    # full cap, and lanes STILL bailed there at the reference's num_itr=200
+    # (Figbird.cpp:6225) — identical trajectories, so converged-lane outputs
+    # are bit-equal to a single full-cap pass.  reference_exact skips
+    # staging.  ``prec_escalate``: lanes whose fast f32 soft-count pass
+    # flagged underflow risk re-run with the exact cascade (em.FillConfig
+    # .detect_prec; VERDICT r4 #1) — the escalated trajectory is the
+    # golden-verified exact_soft one.
     STAGE_ITERS = 8
+    REF_EM_ITERS = 200
     staged = (not partial_mode and staged_scan
               and cfg.em_iters > STAGE_ITERS)
-    cfg_fast = None
+    from dataclasses import replace as _replace_cfg
+
+    _tier_cfgs = {"full": cfg}
     if staged:
-        from dataclasses import replace as _replace_cfg
+        _tier_cfgs["fast"] = _replace_cfg(cfg, em_iters=STAGE_ITERS)
 
-        cfg_fast = _replace_cfg(cfg, em_iters=STAGE_ITERS)
+    def _cfg_for(tier: str) -> FillConfig:
+        c = _tier_cfgs.get(tier)
+        if c is None:
+            base = cfg if not tier.startswith("exact") else _replace_cfg(
+                cfg, exact_soft=True, detect_prec=False)
+            iters = REF_EM_ITERS if tier.endswith("200") \
+                else max(cfg.em_iters, 1)
+            c = _replace_cfg(base, em_iters=iters)
+            _tier_cfgs[tier] = c
+        return c
 
-    def run_scan(gi_, gl_, full=True):
-        c = cfg if (full or cfg_fast is None) else cfg_fast
-        return fill_batch_scan(c, gap_arrays, put_i(gi_), put_i(gl_), marr,
-                               finalize_flag=large_flag)
+    _tier0 = "fast" if staged else "full"
+
+    def run_scan(gi_, gl_, tier="full"):
+        return fill_batch_scan(_cfg_for(tier), gap_arrays, put_i(gi_),
+                               put_i(gl_), marr, finalize_flag=large_flag)
 
     # checkGapReads probes run with finalize extras ON but no large-gap
     # break (run(i,fp,g,1,1) — Figbird.cpp:6097)
-    def run_probe(gi_, gl_, full=True):
-        c = cfg if (full or cfg_fast is None) else cfg_fast
-        return fill_batch_scan(c, gap_arrays, put_i(gi_), put_i(gl_), marr,
-                               finalize_flag=True, large_break=False)
+    def run_probe(gi_, gl_, tier="full"):
+        return fill_batch_scan(_cfg_for(tier), gap_arrays, put_i(gi_),
+                               put_i(gl_), marr, finalize_flag=True,
+                               large_break=False)
 
-    def run_full_fn(gi_, gl_, full=True):
-        c = cfg if (full or cfg_fast is None) else cfg_fast
-        return fill_batch_full_packed(c, gap_arrays, put_i(gi_), put_i(gl_),
-                                      marr, finalize_flag=large_flag)
+    def run_full(gi_, gl_, tier="full"):
+        return fill_batch_full_packed(_cfg_for(tier), gap_arrays, put_i(gi_),
+                                      put_i(gl_), marr,
+                                      finalize_flag=large_flag)
 
-    run_full = run_full_fn
     run_fin = lambda gi_, gl_, bs, sv, svl, svr: finalize_batch_packed(
         cfg, gap_arrays, put_i(gi_), put_i(gl_), marr, put_i(bs), put_i(sv),
         put_i(svl), put_i(svr))
 
     nb = instance_batch
 
-    def _pad_chunk(r, le):
-        pad = nb - len(r)
+    def _pad_chunk(r, le, width=None):
+        width = width or nb
+        pad = width - len(r)
         gi_ = jnp.asarray(np.asarray(list(r) + [0] * pad, np.int32))
         gl_ = jnp.asarray(np.asarray(list(le) + [1] * pad, np.int32))
         return gi_, gl_
 
+    def _dispatch_rows(fn, rows, lens, tier, batch):
+        parts = []
+        for c0 in range(0, len(rows), batch):
+            gi_, gl_ = _pad_chunk(rows[c0 : c0 + batch],
+                                  lens[c0 : c0 + batch], batch)
+            parts.append(fn(gi_, gl_, tier=tier))
+        if not parts:
+            return np.zeros((0, 1), np.float32)
+        return np.concatenate([np.asarray(b) for b in
+                               jax.device_get(parts)])[: len(rows)]
+
+    def _escalate(fn, rows, lens, host, bail_col, prec_col, batch, label):
+        """Escalation chain, in place on ``host``:
+        bailed -> full-cap -> 200-cap;  prec -> exact (-> exact 200-cap)."""
+        def _rerun(sel, tier, counter):
+            if not sel.size:
+                return
+            _td = _time.time()
+            sub = _dispatch_rows(fn, [rows[i] for i in sel],
+                                 [lens[i] for i in sel], tier, batch)
+            host[sel] = sub
+            stats[counter] = stats.get(counter, 0) + int(sel.size)
+            stats["t_scan_esc"] = stats.get("t_scan_esc", 0) + round(
+                _time.time() - _td, 3)
+
+        if staged:
+            _rerun(np.flatnonzero(host[:, bail_col] != 0), "full",
+                   f"esc_full_{label}")
+            _rerun(np.flatnonzero(host[:, bail_col] != 0), "full200",
+                   f"esc_200_{label}")
+        if prec_escalate:
+            _rerun(np.flatnonzero(host[:, prec_col] != 0), "exact",
+                   f"esc_exact_{label}")
+            if not partial_mode:
+                _rerun(np.flatnonzero(host[:, bail_col] != 0), "exact200",
+                       f"esc_exact200_{label}")
+        left = int(np.sum(host[:, bail_col] != 0))
+        if left and (staged or prec_escalate):
+            logger.warning(
+                "%s: %d lanes still unconverged at the reference 200-"
+                "iteration cap (accepted, matching num_itr=200 behaviour)",
+                label, left)
+
     def scan_wave(rows, lens, probe=False):
         """Dispatch a wave of scan instances; one list fetch (the packed
-        (IB, 8) outputs are tiny, and a donated device accumulator measured
-        3x SLOWER on the tunnel backend — donation serialises dispatches).
-        With staging on, unmapped instances run the 8-iteration program
-        first and only bailed lanes pay the full-cap program.
-        Returns (n, 8)."""
+        (IB, SCAN_COLS) outputs are tiny, and a donated device accumulator
+        measured 3x SLOWER on the tunnel backend — donation serialises
+        dispatches).  With staging on, unmapped instances run the
+        8-iteration program first and only bailed lanes pay deeper
+        programs; prec-flagged lanes re-run with the exact cascade.
+        Returns (n, SCAN_COLS)."""
         _td = _time.time()
         fn = run_probe if probe else run_scan
         out_parts = []
         for c0 in range(0, len(rows), nb):
             gi_, gl_ = _pad_chunk(rows[c0 : c0 + nb], lens[c0 : c0 + nb])
-            out_parts.append(fn(gi_, gl_, full=not staged))
+            out_parts.append(fn(gi_, gl_, tier=_tier0))
         stats["t_scan_disp"] = stats.get("t_scan_disp", 0) + round(
             _time.time() - _td, 3)
         _td = _time.time()
@@ -1138,25 +1214,8 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
         stats["t_scan_get"] = stats.get("t_scan_get", 0) + round(
             _time.time() - _td, 3)
         stats["scan_instances"] += len(rows)
-        if staged:
-            bailed = np.flatnonzero(host[:, 7] != 0)
-            if bailed.size:
-                _td = _time.time()
-                parts2 = []
-                rows_b = [rows[i] for i in bailed]
-                lens_b = [lens[i] for i in bailed]
-                for c0 in range(0, len(rows_b), nb):
-                    gi_, gl_ = _pad_chunk(rows_b[c0 : c0 + nb],
-                                          lens_b[c0 : c0 + nb])
-                    parts2.append(fn(gi_, gl_, full=True))
-                host2 = np.concatenate([np.asarray(b) for b in
-                                        jax.device_get(parts2)]
-                                       )[: len(rows_b)]
-                host[bailed] = host2
-                stats["t_scan_esc"] = stats.get("t_scan_esc", 0) + round(
-                    _time.time() - _td, 3)
-                stats["scan_escalated"] = stats.get("scan_escalated", 0) \
-                    + int(bailed.size)
+        _escalate(fn, rows, lens, host, 7, 8, nb,
+                  "probe" if probe else "scan")
         return host
 
     # ---- read-count probe for small unmapped gaps (checkGapReads) --------
@@ -1302,29 +1361,10 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
     _td = _time.time()
     # 2-3 instances per gap: pad to a small fixed batch
     nbr = min(nb, 256)
-
-    def _rr_dispatch(rows_, lens_, full):
-        devs = []
-        for c0 in range(0, len(rows_), nbr):
-            r = list(rows_[c0 : c0 + nbr])
-            le = list(lens_[c0 : c0 + nbr])
-            pad = nbr - len(r)
-            gi_ = jnp.asarray(np.asarray(r + [0] * pad, np.int32))
-            gl_ = jnp.asarray(np.asarray(le + [1] * pad, np.int32))
-            devs.append(run_full(gi_, gl_, full=full))
-        if not devs:
-            return np.zeros((0, 1))
-        return np.concatenate([np.asarray(x) for x in
-                               jax.device_get(devs)])[: len(rows_)]
-
-    rr_host = _rr_dispatch(rr_rows, rr_lens, full=not staged)
-    if staged and len(rr_rows):
-        bcol = lay["bailed"][0]
-        bailed = np.flatnonzero(rr_host[:, bcol] != 0)
-        if bailed.size:
-            rr_host[bailed] = _rr_dispatch([rr_rows[i] for i in bailed],
-                                           [rr_lens[i] for i in bailed],
-                                           full=True)
+    rr_host = _dispatch_rows(run_full, rr_rows, rr_lens, _tier0, nbr)
+    if len(rr_rows):
+        _escalate(run_full, rr_rows, rr_lens, rr_host,
+                  lay["bailed"][0], lay["prec"][0], nbr, "rerun")
     stats["t_rerun"] = stats.get("t_rerun", 0) + round(_time.time() - _td, 3)
     rr = {}
     for t, (gi, tag, ln) in enumerate(rr_key):

@@ -74,6 +74,15 @@ class FillConfig:
     # placements get probs from different weight ratios and the EM feedback
     # diverges.  reference_exact turns this on (5x accumulate cost).
     exact_soft: bool = False
+    # lazy precision escalation: with exact_soft=False, every soft pass also
+    # emits a ``prec`` risk flag — true iff some gap-zone row is covered by a
+    # legal placement yet its f32 soft-count total is <= the cascade's level-
+    # selection threshold TAU, i.e. exactly the rows where the exact cascade
+    # would pick a deeper level than plain f32.  The driver re-runs flagged
+    # instances with exact_soft=True (few by construction), making the fast
+    # path's outputs bit-identical to the reference's C-double accumulation
+    # at a marginal cost (VERDICT r4 #1).
+    detect_prec: bool = True
 
 
 ONEHOT4 = np.eye(5, 4, dtype=np.float32)
@@ -180,7 +189,12 @@ def _soft_K(probs, eprobs, e_pos, W):
     B5 = eprobs @ sel
     e5 = jnp.repeat(e_pos, 5)[None, :]
     F = A5 * (1.0 - e5) + e5 * B5
-    return jnp.log(jnp.maximum(F, 1e-300))
+    # clamp matches the fused Pallas kernel (ops/band.py _band_soft_kernel)
+    # exactly: 1e-30 — a 1e-300 clamp underflows to 0 in f32 and log() gives
+    # -inf, which poisons the score matmul (0 * -inf = NaN) and diverges
+    # from the TPU path (ADVICE r4 #1).  Real factors are add-one smoothed
+    # products >= ~1e-15, so the clamp never binds on real data.
+    return jnp.log(jnp.maximum(F, 1e-30))
 
 
 def _hard_K(gap_string, e_match, e_mis, ln_et):
@@ -603,6 +617,48 @@ def _accumulate_logw(logw, legal, oh_count_cmajor, cfg: FillConfig):
     return chosen
 
 
+# ---------------------------------------------------------------------------
+# precision-risk detection (cfg.detect_prec): a fast-path soft pass is
+# bit-identical to the exact cascade unless some gap-zone row is covered by a
+# legal placement while its f32 total is <= TAU (the cascade's level-selection
+# threshold) — on such rows the cascade accumulates at a deeper scale and the
+# weight RATIOS (hence computeProbsGap feedback and the consensus) change.
+# Coverage is computed from per-position maximum legal read length: position p
+# contributes to rows [p, p + len).  Conservative only in that a row covered
+# exclusively by sub-double-underflow placements still flags (the escalated
+# re-run then reproduces the fast result bit-exactly anyway).
+# ---------------------------------------------------------------------------
+
+def _coverage_full(cfg: FillConfig, legal, lens):
+    """(W,) bool: window rows covered by any legal placement (full-Wp legality
+    as in the unmapped pass).  Loop-invariant — computed once per instance."""
+    ml = jnp.max(jnp.where(legal, lens[:, None], 0), axis=0)        # (Wp,)
+    reach = jnp.arange(cfg.Wp) + ml                                  # excl. end
+    creach = jax.lax.cummax(reach)
+    ext = jnp.concatenate(
+        [creach, jnp.full((cfg.W - cfg.Wp,), 1, creach.dtype) * creach[-1]])
+    return ext > jnp.arange(cfg.W)
+
+
+def _coverage_band(cfg: FillConfig, leg, lens, p0):
+    """(W,) bool coverage for one L-wide band at window start ``p0``."""
+    bw = _band_w(cfg)
+    ml = jnp.max(jnp.where(leg, lens[:, None], 0), axis=0)           # (bw,)
+    creach = jax.lax.cummax(jnp.arange(bw) + ml)                     # local
+    loc = jnp.concatenate(
+        [creach, jnp.full((cfg.L,), 1, creach.dtype) * creach[-1]]
+    ) > jnp.arange(bw + cfg.L)
+    return jax.lax.dynamic_update_slice(
+        jnp.zeros((cfg.W,), bool), loc, (p0,))
+
+
+def _prec_risk(cfg: FillConfig, soft_counts, cov, gap_zone):
+    if cfg.exact_soft or not cfg.detect_prec:
+        return jnp.bool_(False)
+    total = soft_counts.sum(axis=-1)
+    return jnp.any(gap_zone & cov & (total <= _CASCADE_TAU))
+
+
 def _detect_overlap_partial(cfg, inst, accept, pos_gap, bonus_cap=None):
     """detect_overlap_gapestimate (2513-2779), vectorised.
 
@@ -977,6 +1033,9 @@ def _place_partial(cfg, inst, model, probs, eprobs, track_orig):
     soft = _soft_counts_banded(LN10 * ln1, leg1, LN10 * ln2, leg2, p0r,
                                oh_count, cfg)
     counts = jnp.where(gap_zone[:, None], soft, _counts_flank(inst, cfg))
+    cov = _coverage_band(cfg, leg1, inst["p_len"], p0l) \
+        | _coverage_band(cfg, leg2, inst["p_len"], p0r)
+    prec = _prec_risk(cfg, soft, cov, gap_zone)
 
     mx, _ = _combine_bands_max(ln1, ln2, p0r)
     has = mx > NEG / 2
@@ -996,7 +1055,8 @@ def _place_partial(cfg, inst, model, probs, eprobs, track_orig):
     bonus, saved_l, saved_r = _detect_overlap_partial(cfg, inst, accept, pos_h)
     likelihood = ml_soft + bonus
     return dict(counts=counts, likelihood=likelihood, accept=accept,
-                pos=pos_h, valid=valid, saved_l=saved_l, saved_r=saved_r)
+                pos=pos_h, valid=valid, saved_l=saved_l, saved_r=saved_r,
+                prec=prec)
 
 
 def em_partial_instance(cfg: FillConfig, inst, model):
@@ -1016,8 +1076,10 @@ def em_partial_instance(cfg: FillConfig, inst, model):
     eprobs = compute_error_probs_gap(probs, model["et"])
 
     out = None
+    prec = jnp.bool_(False)
     for _ in range(3):
         out = _place_partial(cfg, inst, model, probs, eprobs, False)
+        prec = prec | out["prec"]
         probs = compute_probs_gap(out["counts"])
         eprobs = compute_error_probs_gap(probs, model["et"])
 
@@ -1027,7 +1089,7 @@ def em_partial_instance(cfg: FillConfig, inst, model):
         likelihood=out["likelihood"], consensus=gap_cons, valid=out["valid"],
         accept=out["accept"], pos=out["pos"], saved_l=out["saved_l"],
         saved_r=out["saved_r"], counts=out["counts"],
-        left_max=left_max, right_min=right_min,
+        left_max=left_max, right_min=right_min, prec=prec,
     )
 
 
@@ -1048,6 +1110,7 @@ def _unmapped_prep(cfg, inst, model):
         prior=model["ln_ins"][t_ins],
         rev=(inst["u_rev"] == 1)[:, None],
         flank=_counts_flank(inst, cfg),
+        cov=_coverage_full(cfg, legal, inst["u_len"]),
     )
 
 
@@ -1070,6 +1133,7 @@ def _place_unmapped(cfg, inst, model, probs, eprobs, finalize_flag: bool,
     lnP = jnp.where(legal, lnP, NEG)
     soft = _accumulate_logw(0.5 * lnP / LN10, legal, oh_cnt, cfg)
     counts = jnp.where(gap_zone[:, None], soft, prep["flank"])
+    prec = _prec_risk(cfg, soft, prep["cov"], gap_zone)
 
     mx10 = jnp.max(lnP, axis=1) / LN10
 
@@ -1134,7 +1198,8 @@ def _place_unmapped(cfg, inst, model, probs, eprobs, finalize_flag: bool,
 
     return dict(counts=counts, new_counts=new_counts, likelihood=likelihood,
                 accept=accept, pos=pos_h, valid=valid, cons2=cons2,
-                region_perct=region_perct, discont=discont, mx10=mx10)
+                region_perct=region_perct, discont=discont, mx10=mx10,
+                prec=prec)
 
 
 def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool,
@@ -1174,6 +1239,7 @@ def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool,
         accept=jnp.zeros(R, bool), pos=jnp.zeros(R, jnp.int32),
         valid=jnp.int32(0), prev=prev_cons,
         region_perct=jnp.float32(0.0), discont=jnp.bool_(False),
+        prec=jnp.bool_(False),
     )
 
     def cond(s):
@@ -1206,7 +1272,8 @@ def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool,
                     eprobs=eprobs, counts=out["counts"],
                     likelihood=out["likelihood"], accept=out["accept"],
                     pos=out["pos"], valid=out["valid"], prev=gc,
-                    region_perct=out["region_perct"], discont=out["discont"])
+                    region_perct=out["region_perct"], discont=out["discont"],
+                    prec=s["prec"] | out["prec"])
 
     s = jax.lax.while_loop(cond, body, init)
 
@@ -1216,7 +1283,8 @@ def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool,
                               prep=prep)
         s = dict(s, likelihood=out["likelihood"], accept=out["accept"],
                  pos=out["pos"], valid=out["valid"], counts=out["counts"],
-                 region_perct=out["region_perct"], discont=out["discont"])
+                 region_perct=out["region_perct"], discont=out["discont"],
+                 prec=s["prec"] | out["prec"])
 
     cons, _ = consensus_from_counts(s["counts"], gap_zone, 0, 0)
     gap_cons = jax.lax.dynamic_slice(cons, (cfg.WL,), (cfg.max_gap_len,))
@@ -1233,7 +1301,7 @@ def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool,
         accept=s["accept"], pos=s["pos"], counts=s["counts"],
         region_perct=s["region_perct"], discont=s["discont"],
         ucoverf=ucoverf, umaxleftf=umaxleftf, umaxrightf=umaxrightf,
-        iters=s["it"],
+        iters=s["it"], prec=s["prec"],
         # hit the iteration cap without converging: the converge-or-escalate
         # scan staging re-runs these instances at the full cap (from-scratch
         # recompute => bit-identical trajectories for converged lanes)
@@ -1444,8 +1512,9 @@ def finalize_batch(cfg: FillConfig, insts, model, best_strings, saved,
 # finalize pass return a single packed f32 matrix each.
 # ===========================================================================
 
-SCAN_COLS = 8  # lik, valid, discont, ucoverf, umaxleftf, umaxrightf,
-               # region_perct, bailed (unmapped EM hit its cap unconverged)
+SCAN_COLS = 9  # lik, valid, discont, ucoverf, umaxleftf, umaxrightf,
+               # region_perct, bailed (unmapped EM hit its cap unconverged),
+               # prec (f32 soft-count underflow risk -> exact_soft re-run)
 
 
 @functools.partial(jax.jit,
@@ -1461,7 +1530,7 @@ def fill_batch_scan(cfg: FillConfig, gap_arrays, gap_idx, gap_len, model,
     f = lambda kk: out[kk].astype(jnp.float32) if kk in out else z
     cols = [out["likelihood"].astype(jnp.float32), f("valid"), f("discont"),
             f("ucoverf"), f("umaxleftf"), f("umaxrightf"),
-            f("region_perct"), f("bailed")]
+            f("region_perct"), f("bailed"), f("prec")]
     return jnp.stack(cols, axis=1)
 
 
@@ -1493,7 +1562,8 @@ def fill_batch_full_packed(cfg: FillConfig, gap_arrays, gap_idx, gap_len,
              g("saved_l")[:, None] if "saved_l" in out else z[:, None],
              g("saved_r")[:, None] if "saved_r" in out else z[:, None],
              g("region_perct")[:, None],
-             g("bailed")[:, None] if "bailed" in out else z[:, None]]
+             g("bailed")[:, None] if "bailed" in out else z[:, None],
+             g("prec")[:, None] if "prec" in out else z[:, None]]
     return jnp.concatenate(parts, axis=1)
 
 
@@ -1504,7 +1574,7 @@ def full_packed_layout(cfg: FillConfig) -> dict:
     at = 0
     for name, width in (("consensus", cfg.max_gap_len), ("accept", nr),
                         ("pos", nr), ("saved_l", 1), ("saved_r", 1),
-                        ("region_perct", 1), ("bailed", 1)):
+                        ("region_perct", 1), ("bailed", 1), ("prec", 1)):
         o[name] = (at, at + width)
         at += width
     o["_total"] = at

@@ -215,7 +215,8 @@ def band_score_soft(oh_flat, probs, eprobs, e_pos, Wp: int):
     """Soft-pass score: sum_j log(A[p+j, c_rj](1-e_j) + e_j B[p+j, c_rj]).
 
     TPU: fused Pallas kernel (K never touches HBM).  Fallback: the XLA
-    _soft_K + skew-matmul path with IDENTICAL numerics (same op order)."""
+    _soft_K + skew-matmul path with identical numerics (same op order and
+    the same 1e-30 factor clamp before the log)."""
     if use_pallas():
         return _band_score_soft_pallas(oh_flat, probs, eprobs, e_pos, Wp)
     from ..fill.em import _soft_K

@@ -391,8 +391,13 @@ class Pipeline:
         self.timer.add("index_build", time.time() - t0)
         params = e2e_params(self.align_params) if end_to_end \
             else self.align_params
-        # model learning runs on device; skip the mismatch-mask D2H
-        params = _replace(params, want_mism=False)
+        # model learning runs on device; skip the mismatch-mask D2H.
+        # Exception: genomes past the replicated-flat budget (contig-sharded,
+        # no device stats) fall back to host learning, which needs the mask.
+        from .align.core import host_flat_ok as _hfok
+
+        if _hfok(sum(int(l) for l in genome.lengths)):
+            params = _replace(params, want_mism=False)
         t0 = time.time()
         al = Aligner(idx, params, mesh=self.mesh,
                      **self.aligner_kwargs)

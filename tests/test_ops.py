@@ -56,3 +56,33 @@ def test_pallas_vmapped():
                      for b in range(B)])
     got = np.asarray(jax.vmap(lambda o, k: _band_score_pallas(o, k, Wp))(oh, K))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_soft_kernel_clamp_matches_fallback():
+    """The fused soft kernel and the _soft_K fallback clamp the factor at
+    the SAME 1e-30 before the log — including zero-probability columns
+    (ADVICE r4 #1: a 1e-300 fallback clamp underflowed to -inf in f32)."""
+    from figbird_tpu.fill.em import _soft_K
+    from figbird_tpu.ops.band import _band_score_soft_pallas
+
+    rng = np.random.default_rng(3)
+    W, L = 200, 20
+    Wp = W - L
+    R = 16
+    probs = rng.random((W, 5)).astype(np.float32)
+    probs[:, 4] = 0.0
+    # zero-probability column: all mass on A at some rows, e_pos 0 there
+    probs[50:60] = 0.0
+    probs[50:60, 0] = 1.0
+    e_pos = np.full(L, 1e-3, np.float32)
+    e_pos[:4] = 0.0  # F = A exactly for these cycles -> exact zeros possible
+    eprobs = rng.random((W, 5)).astype(np.float32) * 1e-2
+    oh = (rng.random((R, L * 5)) < 0.2).astype(np.float32)
+    K = _soft_K(jnp.asarray(probs), jnp.asarray(eprobs),
+                jnp.asarray(e_pos), W)
+    want = np.asarray(band_score_reference(jnp.asarray(oh), K, Wp))
+    assert np.all(np.isfinite(want)), "fallback must not produce -inf/NaN"
+    got = np.asarray(_band_score_soft_pallas(
+        jnp.asarray(oh), jnp.asarray(probs), jnp.asarray(eprobs),
+        jnp.asarray(e_pos), Wp))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
