@@ -47,14 +47,20 @@ logging.getLogger("jax").setLevel(logging.WARNING)
 _FALLBACK_BASELINE_RPS = 50_000.0  # documented estimate, see header
 
 
-def _baseline_rps() -> float:
+def _baseline_rps_key(key: str):
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE_MEASURED.json")
     try:
         with open(path) as fh:
-            return float(json.load(fh)["baseline_reads_per_sec"])
-    except (OSError, KeyError, ValueError):
-        return _FALLBACK_BASELINE_RPS
+            v = json.load(fh).get(key)
+        return float(v) if v else None
+    except (OSError, ValueError):
+        return None
+
+
+def _baseline_rps() -> float:
+    return _baseline_rps_key("baseline_reads_per_sec") \
+        or _FALLBACK_BASELINE_RPS
 
 
 def _strings_equal(a: list, b: list) -> bool:
@@ -110,11 +116,11 @@ def main():
     align_bs = int(os.environ.get("BENCH_ALIGN_BATCH", "0"))
     ak = {"batch_size": align_bs} if align_bs else {}
 
-    def one_iteration(**kw) -> tuple[float, "Pipeline"]:
+    def one_iteration(mode: str = "p", **kw) -> tuple[float, "Pipeline"]:
         pipe = Pipeline(cfg, sim.draft, [(sim.reads1, sim.reads2)],
                         aligner_kwargs=ak, **kw)
         t0 = time.time()
-        st = pipe.run_iteration("p", 0)
+        st = pipe.run_iteration(mode, 0)
         wall = time.time() - t0
         filled = 1 - st.n_after / max(st.n_before, 1)
         print(f"#   wall={wall:.2f}s  N {st.n_before}->{st.n_after} "
@@ -143,12 +149,15 @@ def main():
           file=sys.stderr)
     pipe.timer.report()
 
+    esc = {k: v for k, v in getattr(pipe, "last_fill_stats", {}).items()
+           if k.startswith("esc_")}
     exact_rps = None
+    exact_soft_wall = None
     outputs_equal = None
     outputs_equal_precision = None
     if run_exact:
         capped_strings = pipe.result.gap_history[0][1]
-        # cap isolation: same f32 precision, scan cap OFF
+        # cap isolation: same lazy precision mode, scan cap OFF
         print("# uncapped-scan trial (cap isolation)", file=sys.stderr)
         wall_e, pipe_e = one_iteration(
             fill_kwargs={"max_scan_lengths": 0})
@@ -160,18 +169,54 @@ def main():
         print(f"# capped-vs-uncapped gap strings: "
               f"{len(capped_strings) - n_diff}/{len(capped_strings)} equal",
               file=sys.stderr)
-        # precision isolation: caps ON, double-range soft counts ON
-        # (the golden-parity configuration's precision mode; see PARITY.md)
+        # precision isolation: caps ON, full double-range cascade on EVERY
+        # instance — the production default's lazy escalation must reproduce
+        # it bit-exactly (VERDICT r4 #1; see PARITY.md)
         print("# exact-soft trial (precision isolation)", file=sys.stderr)
         wall_p, pipe_p = one_iteration(fill_kwargs={"exact_soft": True})
+        exact_soft_wall = round(wall_p, 2)
         precise_strings = pipe_p.result.gap_history[0][1]
         outputs_equal_precision = _strings_equal(capped_strings,
                                                  precise_strings)
         n_diff_p = sum(1 for x, y in zip(capped_strings, precise_strings)
                        if not np.array_equal(x, y))
-        print(f"# fast-vs-exact-soft gap strings: "
+        print(f"# lazy-vs-exact-soft gap strings: "
               f"{len(capped_strings) - n_diff_p}/{len(capped_strings)} equal",
               file=sys.stderr)
+
+    # ---- unmapped-pass mode (VERDICT r4 #4): same dataset, u iteration
+    # on the draft; parity vs the fully-exact configuration ----
+    u_rps = None
+    u_vs_baseline = None
+    u_outputs_equal = None
+    u_esc = {}
+    if os.environ.get("BENCH_U", "1") not in ("0", "false", ""):
+        print("# u-pass warm-up", file=sys.stderr)
+        one_iteration("u")
+        u_walls = []
+        for t in range(max(trials - 1, 1)):
+            print(f"# u-pass trial {t + 1}", file=sys.stderr)
+            w, pipe_u = one_iteration("u")
+            u_walls.append(w)
+        u_med = statistics.median(u_walls)
+        u_rps = round(n_reads / u_med, 1)
+        u_esc = {k: v for k, v in
+                 getattr(pipe_u, "last_fill_stats", {}).items()
+                 if k.startswith("esc_")}
+        ub = _baseline_rps_key("u_baseline_reads_per_sec")
+        if ub:
+            u_vs_baseline = round(u_rps / ub, 3)
+        if run_exact:
+            print("# u-pass reference-exact parity trial", file=sys.stderr)
+            _, pipe_ux = one_iteration("u",
+                                       fill_kwargs={"reference_exact": True})
+            su = pipe_u.result.gap_history[0][1]
+            sx = pipe_ux.result.gap_history[0][1]
+            u_outputs_equal = _strings_equal(su, sx)
+            n_diff_u = sum(1 for x, y in zip(su, sx)
+                           if not np.array_equal(x, y))
+            print(f"# u default-vs-reference-exact gap strings: "
+                  f"{len(su) - n_diff_u}/{len(su)} equal", file=sys.stderr)
 
     print(json.dumps({
         "metric": "reads_aligned_assigned_per_sec_per_chip",
@@ -184,8 +229,14 @@ def main():
         "cold_cache": cold_cache,
         "capped_rps": round(reads_per_sec, 1),
         "exact_rps": exact_rps,
+        "exact_soft_wall_s": exact_soft_wall,
+        "prec_escalations": esc,
         "outputs_equal": outputs_equal,
         "outputs_equal_precision": outputs_equal_precision,
+        "u_rps": u_rps,
+        "u_vs_baseline": u_vs_baseline,
+        "u_outputs_equal": u_outputs_equal,
+        "u_prec_escalations": u_esc,
     }))
 
 

@@ -1026,10 +1026,13 @@ def fill_gaps(
             detect_prec=prec_escalate,
         )
         # memory-capped instance batch: live bytes per instance scale with
-        # read count x (read one-hots + two (P, Wp) weight mats); cap the
-        # batch near 1.5 GB of HBM so big-count buckets shrink but common
-        # buckets dispatch in large, low-overhead batches
-        per_inst = max(pb, rb) * (5 * cfg.L + 2 * cfg.Wp) * 8
+        # read count x (read one-hots + weight mats — the exact-cascade
+        # re-runs stack _CASCADE_GROUP levels per matmul, the worst case);
+        # cap the batch near 1.5 GB of HBM so big-count buckets shrink but
+        # common buckets dispatch in large, low-overhead batches
+        from .em import _CASCADE_GROUP as _CG
+
+        per_inst = max(pb, rb) * (5 * cfg.L + (1 + _CG) * cfg.Wp) * 8
         ib = max(4, min(instance_batch, int(1.5e9) // max(per_inst, 1)))
         if mesh is not None:  # instance axis must divide over the mesh
             nrd = mesh.shape["reads"]

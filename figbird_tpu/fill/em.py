@@ -517,21 +517,11 @@ def _soft_counts_banded(logw1, legal1, logw2, legal2, p0r, oh_c, cfg):
         w2 = jnp.where(legal2, jnp.exp(jnp.maximum(logw2, -700.0)), 0.0)
         return _assemble_bands(_accumulate_band(w1, oh_c, cfg.L),
                                _accumulate_band(w2, oh_c, cfg.L), p0r, cfg)
-    chosen = None
-    for k in reversed(range(_CASCADE_LEVELS)):
-        parts = []
-        for lw, lg in ((logw1, legal1), (logw2, legal2)):
-            lk = lw + k * _CASCADE_SHIFT
-            wk = jnp.where(lg & (lk <= _CASCADE_CUT),
-                           jnp.exp(jnp.clip(lk, -745.0, _CASCADE_CUT)), 0.0)
-            parts.append(_accumulate_band(wk, oh_c, cfg.L))
-        ck = _assemble_bands(parts[0], parts[1], p0r, cfg)
-        if chosen is None:
-            chosen = ck
-        else:
-            total = ck.sum(axis=-1, keepdims=True)
-            chosen = jnp.where(total > _CASCADE_TAU, ck, chosen)
-    return chosen
+    bw = _band_w(cfg)
+    ck1 = _accumulate_levels(logw1, legal1, oh_c, cfg.L, bw + cfg.L)
+    ck2 = _accumulate_levels(logw2, legal2, oh_c, cfg.L, bw + cfg.L)
+    ass = jax.vmap(lambda a, b: _assemble_bands(a, b, p0r, cfg))(ck1, ck2)
+    return _select_levels(ass)
 
 
 def _score_soft_band(oh_score, probs, eprobs, e_pos, p0, cfg):
@@ -587,6 +577,48 @@ _CASCADE_TAU = float(np.exp(_CASCADE_CUT - _CASCADE_SHIFT))  # e^-62
 _CASCADE_LEVELS = 6
 
 
+# levels stacked per accumulate matmul: the cascade's cost is per-op
+# dispatch/copy-chain, not FLOPs (fold relayouts dominate), so stacking
+# GROUP levels into one dot_general + a vmapped fold pays the overhead
+# ceil(6/GROUP) times instead of 6.  Each stacked column block is computed
+# by the same per-column reduction as a solo matmul — bit-identical.
+_CASCADE_GROUP = 3
+
+
+def _level_weight(logw, legal, k):
+    lk = logw + k * _CASCADE_SHIFT
+    return jnp.where(legal & (lk <= _CASCADE_CUT),
+                     jnp.exp(jnp.clip(lk, -745.0, _CASCADE_CUT)), 0.0)
+
+
+def _accumulate_levels(logw, legal, oh_count_cmajor, L: int, W: int):
+    """All cascade levels' folded counts as (K, W, 5), grouped-stacked."""
+    N, Pw = logw.shape
+    outs = []
+    for g0 in range(0, _CASCADE_LEVELS, _CASCADE_GROUP):
+        ks = list(range(g0, min(g0 + _CASCADE_GROUP, _CASCADE_LEVELS)))
+        wk = jnp.concatenate([_level_weight(logw, legal, k) for k in ks],
+                             axis=1)                       # (N, len*Pw)
+        cwT = jax.lax.dot_general(
+            oh_count_cmajor, wk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (5L, len*Pw)
+        cw3 = cwT.reshape(cwT.shape[0], len(ks), Pw)
+        outs.append(jax.vmap(lambda c: _fold_counts_T(c, L, W),
+                             in_axes=1)(cw3))              # (len, W, 5)
+    return jnp.concatenate(outs, axis=0)                   # (K, W, 5)
+
+
+def _select_levels(counts_k):
+    """Per output row: the SHALLOWEST level whose total exceeds TAU, else
+    the deepest (identical selection to the original sequential loop)."""
+    totals = counts_k.sum(axis=-1)                         # (K, W)
+    chosen = counts_k[-1]
+    for k in reversed(range(_CASCADE_LEVELS - 1)):
+        chosen = jnp.where((totals[k] > _CASCADE_TAU)[:, None],
+                           counts_k[k], chosen)
+    return chosen
+
+
 def _accumulate_logw(logw, legal, oh_count_cmajor, cfg: FillConfig):
     """Soft-count accumulation from natural-log weights with double range.
 
@@ -603,31 +635,28 @@ def _accumulate_logw(logw, legal, oh_count_cmajor, cfg: FillConfig):
     if not cfg.exact_soft:
         w = jnp.where(legal, jnp.exp(jnp.maximum(logw, -700.0)), 0.0)
         return _accumulate(w, oh_count_cmajor, cfg)
-    chosen = None
-    for k in reversed(range(_CASCADE_LEVELS)):
-        lk = logw + k * _CASCADE_SHIFT
-        wk = jnp.where(legal & (lk <= _CASCADE_CUT),
-                       jnp.exp(jnp.clip(lk, -745.0, _CASCADE_CUT)), 0.0)
-        ck = _accumulate(wk, oh_count_cmajor, cfg)
-        if chosen is None:
-            chosen = ck
-        else:
-            total = ck.sum(axis=-1, keepdims=True)
-            chosen = jnp.where(total > _CASCADE_TAU, ck, chosen)
-    return chosen
+    counts_k = _accumulate_levels(logw, legal, oh_count_cmajor, cfg.L, cfg.W)
+    return _select_levels(counts_k)
 
 
 # ---------------------------------------------------------------------------
 # precision-risk detection (cfg.detect_prec): a fast-path soft pass is
-# bit-identical to the exact cascade unless some gap-zone row is covered by a
-# legal placement while its f32 total is <= TAU (the cascade's level-selection
-# threshold) — on such rows the cascade accumulates at a deeper scale and the
-# weight RATIOS (hence computeProbsGap feedback and the consensus) change.
-# Coverage is computed from per-position maximum legal read length: position p
-# contributes to rows [p, p + len).  Conservative only in that a row covered
-# exclusively by sub-double-underflow placements still flags (the escalated
-# re-run then reproduces the fast result bit-exactly anyway).
+# bit-identical to the exact cascade unless some gap-zone row satisfies BOTH
+#  (a) its f32 level-0 total is <= TAU (the cascade's level-selection
+#      threshold) — i.e. the cascade would pick a deeper level there — and
+#  (b) it is covered by a placement whose log-weight is REPRESENTABLE at some
+#      cascade level: logw >= -(5*SHIFT + 103) = -803 nats.  Contributions
+#      below that underflow f32 exp() at EVERY level (deepest level scales by
+#      +5*SHIFT and exp() flushes below ~-103), so rows covered only by such
+#      placements are exact zeros in both paths — no flag.
+# Coverage uses the per-position maximum read length among mask-passing
+# placements: position p contributes to rows [p, p + len).  Conservative only
+# in the (len, logw) pairing; a spurious flag costs one exact re-run which
+# reproduces the fast result bit-exactly anyway.
 # ---------------------------------------------------------------------------
+
+# weights below this natural-log value vanish at every cascade level
+_MIN_LOGW_REP = -(5.0 * 140.0 + 103.0)  # == -(5*_CASCADE_SHIFT + 103)
 
 def _coverage_full(cfg: FillConfig, legal, lens):
     """(W,) bool: window rows covered by any legal placement (full-Wp legality
@@ -1033,9 +1062,14 @@ def _place_partial(cfg, inst, model, probs, eprobs, track_orig):
     soft = _soft_counts_banded(LN10 * ln1, leg1, LN10 * ln2, leg2, p0r,
                                oh_count, cfg)
     counts = jnp.where(gap_zone[:, None], soft, _counts_flank(inst, cfg))
-    cov = _coverage_band(cfg, leg1, inst["p_len"], p0l) \
-        | _coverage_band(cfg, leg2, inst["p_len"], p0r)
-    prec = _prec_risk(cfg, soft, cov, gap_zone)
+    if cfg.detect_prec and not cfg.exact_soft:
+        eff1 = leg1 & (LN10 * ln1 >= _MIN_LOGW_REP)
+        eff2 = leg2 & (LN10 * ln2 >= _MIN_LOGW_REP)
+        cov = _coverage_band(cfg, eff1, inst["p_len"], p0l) \
+            | _coverage_band(cfg, eff2, inst["p_len"], p0r)
+        prec = _prec_risk(cfg, soft, cov, gap_zone)
+    else:
+        prec = jnp.bool_(False)
 
     mx, _ = _combine_bands_max(ln1, ln2, p0r)
     has = mx > NEG / 2
@@ -1110,7 +1144,6 @@ def _unmapped_prep(cfg, inst, model):
         prior=model["ln_ins"][t_ins],
         rev=(inst["u_rev"] == 1)[:, None],
         flank=_counts_flank(inst, cfg),
-        cov=_coverage_full(cfg, legal, inst["u_len"]),
     )
 
 
@@ -1131,9 +1164,15 @@ def _place_unmapped(cfg, inst, model, probs, eprobs, finalize_flag: bool,
     ln_r = band_score_soft(oh, probs, eprobs, model["e_rev"], cfg.Wp)
     lnP = jnp.where(rev, ln_r, ln_f) + prior
     lnP = jnp.where(legal, lnP, NEG)
-    soft = _accumulate_logw(0.5 * lnP / LN10, legal, oh_cnt, cfg)
+    logw_u = 0.5 * lnP / LN10
+    soft = _accumulate_logw(logw_u, legal, oh_cnt, cfg)
     counts = jnp.where(gap_zone[:, None], soft, prep["flank"])
-    prec = _prec_risk(cfg, soft, prep["cov"], gap_zone)
+    if cfg.detect_prec and not cfg.exact_soft:
+        eff = legal & (logw_u >= _MIN_LOGW_REP)
+        prec = _prec_risk(cfg, soft,
+                          _coverage_full(cfg, eff, inst["u_len"]), gap_zone)
+    else:
+        prec = jnp.bool_(False)
 
     mx10 = jnp.max(lnP, axis=1) / LN10
 

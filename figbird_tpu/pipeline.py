@@ -610,6 +610,7 @@ class Pipeline:
         self.genome = new_genome
         self.result.genome = new_genome
         self.result.gap_history.append((gaps, res.gap_strings, res.gaptofill))
+        self.last_fill_stats = res.stats  # bench/trace reporting
 
         for i, keep in reductions.items():
             ra, rb = self.libs[i]

@@ -41,6 +41,17 @@ class SimConfig:
     neg_gap_count: int = 0
     neg_gap_len_range: tuple[int, int] = (4, 25)
     neg_overlap_range: tuple[int, int] = (5, 18)
+    # realistic gap-length tail (GAGE-like): this fraction of gaps draws
+    # from a lognormal tail (median ~150, capped at gap_len_tail_max) —
+    # >400 bp gaps hit findFrac's large-gap regime (Figbird.cpp:6879-6906)
+    gap_len_tail: float = 0.0
+    gap_len_tail_max: int = 2000
+    # dispersed repeat families planted in the TRUTH genome (a repeat_len
+    # segment copied to repeat_copies random spots) — exercises findRepeat
+    # flank skips and ambiguous-alignment handling at scale
+    repeat_count: int = 0
+    repeat_len: int = 500
+    repeat_copies: int = 4
 
 
 @dataclass
@@ -65,6 +76,19 @@ def simulate(cfg: SimConfig, truth: Genome | None = None) -> SimData:
                        dtype=np.int64)
         contigs = [rng.integers(0, 4, size=int(L), dtype=np.int8)
                    for L in lens]
+        # plant dispersed repeat families: copy a segment to several spots
+        for _ in range(cfg.repeat_count):
+            src_c = int(rng.integers(0, cfg.n_contigs))
+            if len(contigs[src_c]) < 4 * cfg.repeat_len:
+                continue
+            s0 = int(rng.integers(0, len(contigs[src_c]) - cfg.repeat_len))
+            seg = contigs[src_c][s0 : s0 + cfg.repeat_len].copy()
+            for _ in range(cfg.repeat_copies - 1):
+                dc = int(rng.integers(0, cfg.n_contigs))
+                if len(contigs[dc]) < 4 * cfg.repeat_len:
+                    continue
+                d0 = int(rng.integers(0, len(contigs[dc]) - cfg.repeat_len))
+                contigs[dc][d0 : d0 + cfg.repeat_len] = seg
         truth = Genome([f"scaf{i}" for i in range(cfg.n_contigs)], contigs)
     else:
         contigs = truth.contigs
@@ -88,8 +112,13 @@ def simulate(cfg: SimConfig, truth: Genome | None = None) -> SimData:
             glen = int(rng.integers(*cfg.neg_gap_len_range))
             consumed = -int(rng.integers(*cfg.neg_overlap_range))
         else:
-            glen = int(rng.integers(cfg.gap_len_range[0],
-                                    cfg.gap_len_range[1] + 1))
+            if cfg.gap_len_tail > 0 and rng.random() < cfg.gap_len_tail:
+                glen = int(min(rng.lognormal(np.log(150.0), 1.0),
+                               cfg.gap_len_tail_max))
+                glen = max(glen, cfg.gap_len_range[0])
+            else:
+                glen = int(rng.integers(cfg.gap_len_range[0],
+                                        cfg.gap_len_range[1] + 1))
             consumed = glen
         L = len(contigs[ci])
         if L < 2 * margin + glen:

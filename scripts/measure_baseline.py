@@ -35,6 +35,10 @@ BOWTIE2_EST_RPS = 50_000.0  # bowtie2 --local, multi-thread server estimate
 ASSUMED_THREADS = 8
 
 scale = float(os.environ.get("BENCH_SCALE", "1.0"))
+# BASELINE_PRESET=chr14 measures the reference at chr14 scale (BASELINE
+# config 4: 88 Mb / 5000 gaps / ~8.7M reads — the dataset
+# scripts/chr14_scale.py benches) and writes BASELINE_CHR14.json
+PRESET = os.environ.get("BASELINE_PRESET", "ecoli")
 
 from figbird_tpu.simulate import SimConfig, simulate
 from figbird_tpu.align import Aligner, AlignParams, build_index, build_pair_table
@@ -45,11 +49,18 @@ from figbird_tpu.golden import ReferenceHarness, reference_available
 assert reference_available()
 
 INSERT = 200
-sim = simulate(SimConfig(
-    genome_len=int(4_600_000 * scale), n_contigs=4,
-    n_gaps=max(int(50 * scale), 8), gap_len_range=(10, 120),
-    read_len=101, insert_mean=INSERT, insert_sd=20,
-    coverage=10.0, error_rate=0.005, seed=1))
+if PRESET == "chr14":
+    sim = simulate(SimConfig(
+        genome_len=88_000_000, n_contigs=8, n_gaps=5000,
+        gap_len_range=(10, 120), gap_len_tail=0.15, repeat_count=150,
+        read_len=101, insert_mean=INSERT, insert_sd=20,
+        coverage=10.0, error_rate=0.005, seed=14))
+else:
+    sim = simulate(SimConfig(
+        genome_len=int(4_600_000 * scale), n_contigs=4,
+        n_gaps=max(int(50 * scale), 8), gap_len_range=(10, 120),
+        read_len=101, insert_mean=INSERT, insert_sd=20,
+        coverage=10.0, error_rate=0.005, seed=1))
 r1, r2 = sim.reads1, sim.reads2
 n_reads = 2 * len(r1)
 print(f"# sim genome={sim.truth.total_length()} reads={n_reads}", file=sys.stderr)
@@ -62,7 +73,8 @@ a2 = al.align(r2.seq, r2.length)
 pt = build_pair_table(idx, a1, a2, r1.length, r2.length, INSERT)
 print(f"# our align+pair {time.time()-t0:.1f}s", file=sys.stderr)
 
-work = "/tmp/baseline_work"
+work = f"/tmp/baseline_work_{PRESET}" if PRESET != "ecoli" \
+    else "/tmp/baseline_work"
 os.makedirs(work, exist_ok=True)
 draft_fa = f"{work}/draft.fa"
 write_fasta(draft_fa, sim.draft.to_fasta(), width=60)
@@ -85,36 +97,78 @@ fill_1t = h.run_fillgaps(draft_fa, max_distance=INSERT, max_read_len=101,
 ncount_1t = h.read_ncount()
 gapout_1t = h.read_gapout()
 print(f"# ref fillgaps 1t {fill_1t:.1f}s (ncount={ncount_1t})", file=sys.stderr)
-# re-run preprocess to reset per-gap sams (FillGaps consumed nothing, but
-# keep runs independent), then 2 threads
-pre2 = h.run_preprocess(draft_fa, sam_path, max_distance=INSERT, samflag=1)
-fill_2t = h.run_fillgaps(draft_fa, max_distance=INSERT, max_read_len=101,
-                         itr=1, partial_flag=1, unmapped=0, threads=2,
-                         neg_overlap=30, partial_readlen=101,
-                         insert_mean=INSERT)
-print(f"# ref fillgaps 2t {fill_2t:.1f}s", file=sys.stderr)
+u_pre_s = u_fill_1t = None
+if PRESET == "ecoli":
+    # ---- unmapped-pass baseline (VERDICT r4 #4): end-to-end SAM,
+    # preprocess samflag=2 (gaps_*.sam), FillGaps unmapped=1 ----
+    from figbird_tpu.align.core import e2e_params
+
+    MAXD2 = int(INSERT * 1.15)  # RunFigbird.sh:26,195
+    t0 = time.time()
+    al_e = Aligner(idx, e2e_params(AlignParams()))
+    b1 = al_e.align(r1.seq, r1.length)
+    b2 = al_e.align(r2.seq, r2.length)
+    pt_e = build_pair_table(idx, b1, b2, r1.length, r2.length, MAXD2)
+    sam_u = f"{work}/injected_e2e.sam"
+    write_sam(sam_u, idx, sim.draft.names, r1, r2, b1, b2, pt=pt_e)
+    print(f"# e2e align+SAM {time.time()-t0:.1f}s", file=sys.stderr)
+    u_pre_s = h.run_preprocess(draft_fa, sam_u, max_distance=MAXD2,
+                               samflag=2)
+    u_fill_1t = h.run_fillgaps(draft_fa, max_distance=MAXD2,
+                               max_read_len=101, itr=1, partial_flag=0,
+                               unmapped=1, threads=1, neg_overlap=30,
+                               partial_readlen=101, insert_mean=INSERT)
+    print(f"# ref u-pass preprocess {u_pre_s:.1f}s fillgaps 1t "
+          f"{u_fill_1t:.1f}s", file=sys.stderr)
+
+fill_2t = None
+if PRESET == "ecoli":
+    # re-run preprocess to reset per-gap sams (FillGaps consumed nothing,
+    # but keep runs independent), then 2 threads (skipped at chr14 scale —
+    # the 1t number feeds the formula and the host has 2 cores)
+    pre2 = h.run_preprocess(draft_fa, sam_path, max_distance=INSERT, samflag=1)
+    fill_2t = h.run_fillgaps(draft_fa, max_distance=INSERT, max_read_len=101,
+                             itr=1, partial_flag=1, unmapped=0, threads=2,
+                             neg_overlap=30, partial_readlen=101,
+                             insert_mean=INSERT)
+    print(f"# ref fillgaps 2t {fill_2t:.1f}s", file=sys.stderr)
 
 fill_work_1t = max(fill_1t - fig_compile, 0.0)
 t_ref = (n_reads / BOWTIE2_EST_RPS + pre_s
          + fill_work_1t / ASSUMED_THREADS)
 baseline_rps = n_reads / t_ref
 
+u_baseline_rps = None
+if u_fill_1t is not None:
+    u_work = max(u_fill_1t - fig_compile, 0.0)
+    t_ref_u = (n_reads / BOWTIE2_EST_RPS + u_pre_s
+               + u_work / ASSUMED_THREADS)
+    u_baseline_rps = n_reads / t_ref_u
+
 out = dict(
+    preset=PRESET,
     genome_len=int(sim.truth.total_length()), n_pairs=len(r1), n_reads=n_reads,
     read_len=101, insert_mean=INSERT, scale=scale,
     preprocess_s=round(pre_s, 2),
-    fillgaps_s_1t=round(fill_1t, 2), fillgaps_s_2t=round(fill_2t, 2),
+    fillgaps_s_1t=round(fill_1t, 2),
+    fillgaps_s_2t=round(fill_2t, 2) if fill_2t is not None else None,
     figbird_compile_s=round(fig_compile, 2),
     fill_work_1t_s=round(fill_work_1t, 2),
     bowtie2_est_reads_per_sec=BOWTIE2_EST_RPS,
     assumed_fill_threads=ASSUMED_THREADS,
     t_ref_s=round(t_ref, 2),
     baseline_reads_per_sec=round(baseline_rps, 1),
+    u_preprocess_s=round(u_pre_s, 2) if u_pre_s is not None else None,
+    u_fillgaps_s_1t=round(u_fill_1t, 2) if u_fill_1t is not None else None,
+    u_baseline_reads_per_sec=(round(u_baseline_rps, 1)
+                              if u_baseline_rps is not None else None),
     ref_ncount=ncount_1t,
     ref_gaps_filled=sum(1 for row in gapout_1t if "N" not in row[5]),
     n_gaps=len(gapout_1t),
 )
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-with open(os.path.join(repo, "BASELINE_MEASURED.json"), "w") as fh:
+fname = "BASELINE_MEASURED.json" if PRESET == "ecoli" \
+    else f"BASELINE_{PRESET.upper()}.json"
+with open(os.path.join(repo, fname), "w") as fh:
     json.dump(out, fh, indent=1)
 print(json.dumps(out))

@@ -241,3 +241,46 @@ def test_e2e_min_score_matches_bowtie2_formula():
         assert bool(out["aligned"][i]) == exp, (
             f"case {i}: L={lens[i]} expected aligned={exp}, "
             f"score={out['score'][i]}")
+
+
+def test_cheap_pass_seed_shadow_escalates():
+    """Adversarial fixture for the two-tier soundness hole (VERDICT r4 #7):
+    a read whose TRUE placement hides its mismatches inside both cheap-pass
+    seed k-mers (so the cheap 2-seed pass cannot find it) while a DECOY
+    placement with more mismatches — all outside the seed windows — looks
+    clean.  The <=1-mismatch confidence bar must escalate the read to the
+    full pass, which finds the true placement via its interior seeds."""
+    rng = np.random.default_rng(42)
+    L, k = 101, 15
+    read = rng.integers(0, 4, size=L, dtype=np.int8)
+
+    # true region: equals the read except 2 mismatches, one inside each
+    # cheap seed window (offsets 0 and L-k)
+    true_region = read.copy()
+    for pos in (7, L - k + 7):
+        true_region[pos] = (true_region[pos] + 1) % 4
+    # decoy region: 3 mismatches, all OUTSIDE the seed windows
+    decoy_region = read.copy()
+    for pos in (30, 50, 70):
+        decoy_region[pos] = (decoy_region[pos] + 1) % 4
+
+    pad = lambda n: rng.integers(0, 4, size=n, dtype=np.int8)
+    contig = np.concatenate([pad(500), true_region, pad(500),
+                             decoy_region, pad(500)])
+    true_pos = 500
+    genome = Genome(["c"], [contig])
+    idx = build_index(genome, k=k)
+
+    reads = read[None, :]
+    lens = np.array([L], np.int32)
+    true_flat = int(idx.contig_to_flat(np.array([0]), np.array([true_pos]))[0])
+    full = Aligner(idx, batch_size=8, two_tier=False,
+                   indel_tier=False).align(reads, lens)
+    two = Aligner(idx, batch_size=8, two_tier=True,
+                  indel_tier=False).align(reads, lens)
+    # the full pass finds the true (2-mismatch) placement ...
+    assert int(full["pos"][0]) == true_flat, full["pos"]
+    # ... and the two-tier aligner must agree (escalation fired)
+    assert int(two["pos"][0]) == true_flat, \
+        f"two-tier settled on decoy at {int(two['pos'][0])}"
+    assert int(two["n_mis"][0]) == 2
