@@ -28,6 +28,13 @@ def main(argv=None) -> int:
                          "output folder")
     ap.add_argument("--trace-dir", default=None,
                     help="write a JAX profiler trace of the run here")
+    ap.add_argument("--mesh-devices", type=int, default=0,
+                    help="build an N-device jax.sharding.Mesh and run the "
+                         "aligner/fill data-parallel over it (0 = off)")
+    ap.add_argument("--genome-shards", type=int, default=1,
+                    help="genome-axis size of the mesh; >1 shards the "
+                         "genome/k-mer index across devices (policy from "
+                         "Parameters.genome_shard: auto|contig|code)")
     args = ap.parse_args(argv)
 
     from .combine import combine_gap_history, write_individual_gaps
@@ -60,7 +67,20 @@ def main(argv=None) -> int:
           f"{genome.count_n()} Ns in {len(genome.find_gaps())} gaps; "
           f"{n_reads} reads in {len(libs)} libraries", file=sys.stderr)
 
-    pipe = Pipeline(cfg, genome, libs, workdir=workdir)
+    mesh = None
+    aligner_kwargs = {}
+    if args.mesh_devices:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_devices,
+                         genome_shards=max(args.genome_shards, 1))
+        if args.genome_shards > 1:
+            aligner_kwargs["genome_shard"] = cfg.parameters.genome_shard
+        print(f"# mesh: {mesh.shape} genome_shard="
+              f"{cfg.parameters.genome_shard}", file=sys.stderr)
+
+    pipe = Pipeline(cfg, genome, libs, workdir=workdir, mesh=mesh,
+                    aligner_kwargs=aligner_kwargs)
     with trace_context(args.trace_dir):
         result = pipe.run(max_iterations=args.max_iterations)
 

@@ -49,6 +49,12 @@ class Parameters:
     gaplen_negative_overlap: int = 30
     trim_len: int = 10
     set_inputmean: int = 0
+    # TPU-native extension (no reference analogue): genome sharding policy
+    # for the aligner when the device mesh has a genome axis.  "auto" =
+    # contig-range shards once the flat genome exceeds int32/HBM budgets
+    # (BASELINE config 5), "contig" = force, "code" = code-range table
+    # shards over a replicated genome.
+    genome_shard: str = "auto"
 
     def validate(self) -> None:
         if not (1 <= self.numthreads <= 64):  # RunFigbird.sh:51-54
@@ -103,6 +109,7 @@ class FigbirdConfig:
             gaplen_negative_overlap=int(p.get("gaplen_negative_overlap", 30)),
             trim_len=int(p.get("trim_len", 10)),
             set_inputmean=int(p.get("set_inputmean", 0)),
+            genome_shard=str(p.get("genome_shard", "auto")),
         )
         cfg = cls(
             draft_genome=d.get("Draft_Genome", ""),

@@ -926,6 +926,7 @@ def fill_gaps(
     mesh=None,
     reference_exact: bool = False,
     exact_soft: bool | None = None,
+    soft_levels: int | None = None,
 ) -> FillResult:
     """Fill all gaps for one iteration (one FillGaps.cpp run equivalent).
 
@@ -934,17 +935,30 @@ def fill_gaps(
     (``max_scan_lengths``), the overlap-bonus pair cap, and f32 soft-count
     underflow (``exact_soft`` cascade) — used by the golden parity tests.
 
-    ``exact_soft``: ``None`` (production default) = lazy precision — the
-    fast f32 path runs with underflow-risk detection and only flagged
-    instances re-run with the exact cascade, so outputs are bit-identical
-    to ``exact_soft=True`` at near-fast cost (VERDICT r4 #1); ``True`` =
-    every instance pays the cascade; ``False`` = fast only, no detection
-    (bench.py's cap-vs-precision attribution).
+    ``exact_soft``: ``None``/``True`` (production default) = the full
+    double-range cascade on every instance — bit-identical to the
+    reference's C-double soft accumulation by construction.  The cascade's
+    levels stack into grouped matmuls with select-then-assemble folds, so
+    it costs ~2.2x the plain-f32 scan (measured v5e) — cheaper than lazy
+    escalation, because underflow-divergent rows turn out to be the NORM
+    in candidate-length scans (~94% of instances flag), not the exception.
+    ``"auto"`` = that lazy mode (fast pass + underflow detection + exact
+    re-runs of flagged instances; kept for experiments); ``False`` = plain
+    f32 only, no detection (bench.py's precision-attribution trial).
     """
     if exact_soft is None:
-        exact_soft = True if reference_exact else "auto"
+        exact_soft = True
     prec_escalate = exact_soft == "auto"
     use_exact_soft = exact_soft is True
+    if soft_levels is None:
+        # fast-path mini-cascade depth (em.FillConfig.soft_levels): 3 levels
+        # stack into ONE accumulate matmul (_CASCADE_GROUP), so the flag
+        # threshold drops to e^(78-3*140) ~ 1e-146 at near-m=1 cost;
+        # explicit exact_soft=False (attribution trials) keeps plain f32
+        import os as _os
+
+        soft_levels = 1 if exact_soft is False else int(
+            _os.environ.get("FIGBIRD_SOFT_LEVELS", "3"))
     if reference_exact:
         max_scan_lengths = 0
         em_iters_unmapped = 200  # reference num_itr (Figbird.cpp:6225)
@@ -1024,6 +1038,7 @@ def fill_gaps(
             bonus_cap=pb if reference_exact else 24,
             exact_soft=use_exact_soft,
             detect_prec=prec_escalate,
+            soft_levels=soft_levels,
         )
         # memory-capped instance batch: live bytes per instance scale with
         # read count x (read one-hots + weight mats — the exact-cascade

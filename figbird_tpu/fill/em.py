@@ -76,13 +76,20 @@ class FillConfig:
     exact_soft: bool = False
     # lazy precision escalation: with exact_soft=False, every soft pass also
     # emits a ``prec`` risk flag — true iff some gap-zone row is covered by a
-    # legal placement yet its f32 soft-count total is <= the cascade's level-
-    # selection threshold TAU, i.e. exactly the rows where the exact cascade
-    # would pick a deeper level than plain f32.  The driver re-runs flagged
-    # instances with exact_soft=True (few by construction), making the fast
-    # path's outputs bit-identical to the reference's C-double accumulation
-    # at a marginal cost (VERDICT r4 #1).
+    # representable placement yet its deepest-computed-level total is <= the
+    # cascade's level-selection threshold TAU, i.e. exactly the rows where
+    # the exact cascade would pick a level >= soft_levels.  The driver
+    # re-runs flagged instances with exact_soft=True, making the fast path's
+    # outputs bit-identical to the reference's C-double accumulation at a
+    # marginal cost (VERDICT r4 #1).
     detect_prec: bool = True
+    # fast-path mini-cascade depth m: the production soft pass runs the
+    # FIRST m cascade levels (stacked into ceil(m/GROUP) matmuls, so m<=3
+    # costs one matmul like plain f32).  Rows selecting level < m are
+    # bit-identical to the full cascade; deeper rows trip the prec flag.
+    # m=1 == plain f32 accumulate (the r4 fast path); escalation rate falls
+    # ~e^-140 per extra level (flag threshold e^(CUT - m*SHIFT)).
+    soft_levels: int = 1
 
 
 ONEHOT4 = np.eye(5, 4, dtype=np.float32)
@@ -465,6 +472,10 @@ def _band_starts(cfg: FillConfig, gap_len):
     Band ownership: band 1 owns positions p < WL, band 2 owns p >= WL —
     complete and disjoint over all legal positions (see header note)."""
     bw = _band_w(cfg)
+    assert cfg.W >= bw + cfg.L, (
+        f"banded partial path needs W >= band_w + L ({cfg.W} < {bw + cfg.L});"
+        " production GAP_BUCKETS (floor 128) guarantee this — tiny custom"
+        " configs must pad max_gap_len accordingly")
     p0r = cfg.WL + jnp.maximum(gap_len - cfg.L + 1, 0)
     p0r = jnp.minimum(p0r, cfg.W - (bw + cfg.L))  # keep the slab in-range
     return jnp.int32(0), p0r.astype(jnp.int32)
@@ -509,19 +520,46 @@ def _assemble_bands(fold1, fold2, p0r, cfg: FillConfig):
 
 
 def _soft_counts_banded(logw1, legal1, logw2, legal2, p0r, oh_c, cfg):
-    """Banded soft-count accumulation with the same fast/exact modes as
+    """Banded soft-count accumulation with the same depth modes as
     :func:`_accumulate_logw` (the cascade level is selected per assembled
-    ROW, after both bands' contributions combine)."""
-    if not cfg.exact_soft:
+    ROW, after both bands' contributions combine).  Returns
+    (counts (W,5), deepest-level row totals (W,))."""
+    m = _soft_m(cfg)
+    if m == 1:
         w1 = jnp.where(legal1, jnp.exp(jnp.maximum(logw1, -700.0)), 0.0)
         w2 = jnp.where(legal2, jnp.exp(jnp.maximum(logw2, -700.0)), 0.0)
-        return _assemble_bands(_accumulate_band(w1, oh_c, cfg.L),
-                               _accumulate_band(w2, oh_c, cfg.L), p0r, cfg)
+        counts = _assemble_bands(_accumulate_band(w1, oh_c, cfg.L),
+                                 _accumulate_band(w2, oh_c, cfg.L), p0r, cfg)
+        return counts, counts.sum(axis=-1)
     bw = _band_w(cfg)
-    ck1 = _accumulate_levels(logw1, legal1, oh_c, cfg.L, bw + cfg.L)
-    ck2 = _accumulate_levels(logw2, legal2, oh_c, cfg.L, bw + cfg.L)
-    ass = jax.vmap(lambda a, b: _assemble_bands(a, b, p0r, cfg))(ck1, ck2)
-    return _select_levels(ass)
+    ck1 = _accumulate_levels(logw1, legal1, oh_c, cfg.L, bw + cfg.L, m)
+    ck2 = _accumulate_levels(logw2, legal2, oh_c, cfg.L, bw + cfg.L, m)
+    # select-then-assemble: the level choice needs ASSEMBLED row totals,
+    # which are cheap (m scalar-vector assembles); the expensive full
+    # (W, 5) assemble then runs ONCE on band-locally selected counts
+    # (bit-identical: each level's contribution to a row is selected as a
+    # whole, and assemble is a plain add of the two bands)
+    t1 = ck1.sum(axis=-1)                                  # (m, bw+L)
+    t2 = ck2.sum(axis=-1)
+    z = jnp.zeros((cfg.W,), jnp.float32)
+    tot = jax.vmap(lambda a, b: jax.lax.dynamic_update_slice(z, a, (0,))
+                   + jax.lax.dynamic_update_slice(z, b, (p0r,)))(t1, t2)
+    ok = tot > _CASCADE_TAU                                # (m, W)
+    kstar = jnp.where(jnp.any(ok, axis=0),
+                      jnp.argmax(ok, axis=0), m - 1)       # (W,)
+    k1 = jax.lax.dynamic_slice(kstar, (jnp.int32(0),), (bw + cfg.L,))
+    k2 = jax.lax.dynamic_slice(kstar, (p0r,), (bw + cfg.L,))
+
+    def _pick(ck, kv):
+        sel = ck[-1]
+        for k in reversed(range(m - 1)):
+            sel = jnp.where((kv == k)[:, None], ck[k], sel)
+        return sel
+
+    counts = _assemble_bands(_pick(ck1, k1), _pick(ck2, k2), p0r, cfg)
+    deep = jax.lax.dynamic_update_slice(z, t1[-1], (0,)) \
+        + jax.lax.dynamic_update_slice(z, t2[-1], (p0r,))
+    return counts, deep
 
 
 def _score_soft_band(oh_score, probs, eprobs, e_pos, p0, cfg):
@@ -591,12 +629,13 @@ def _level_weight(logw, legal, k):
                      jnp.exp(jnp.clip(lk, -745.0, _CASCADE_CUT)), 0.0)
 
 
-def _accumulate_levels(logw, legal, oh_count_cmajor, L: int, W: int):
-    """All cascade levels' folded counts as (K, W, 5), grouped-stacked."""
+def _accumulate_levels(logw, legal, oh_count_cmajor, L: int, W: int,
+                       m: int = _CASCADE_LEVELS):
+    """First ``m`` cascade levels' folded counts as (m, W, 5), stacked."""
     N, Pw = logw.shape
     outs = []
-    for g0 in range(0, _CASCADE_LEVELS, _CASCADE_GROUP):
-        ks = list(range(g0, min(g0 + _CASCADE_GROUP, _CASCADE_LEVELS)))
+    for g0 in range(0, m, _CASCADE_GROUP):
+        ks = list(range(g0, min(g0 + _CASCADE_GROUP, m)))
         wk = jnp.concatenate([_level_weight(logw, legal, k) for k in ks],
                              axis=1)                       # (N, len*Pw)
         cwT = jax.lax.dot_general(
@@ -610,33 +649,45 @@ def _accumulate_levels(logw, legal, oh_count_cmajor, L: int, W: int):
 
 def _select_levels(counts_k):
     """Per output row: the SHALLOWEST level whose total exceeds TAU, else
-    the deepest (identical selection to the original sequential loop)."""
-    totals = counts_k.sum(axis=-1)                         # (K, W)
+    the deepest computed (identical selection to the sequential loop; a
+    prefix of the full cascade selects identically wherever the full
+    cascade's choice is < m — deeper rows are escalation territory)."""
+    totals = counts_k.sum(axis=-1)                         # (m, W)
     chosen = counts_k[-1]
-    for k in reversed(range(_CASCADE_LEVELS - 1)):
+    for k in reversed(range(counts_k.shape[0] - 1)):
         chosen = jnp.where((totals[k] > _CASCADE_TAU)[:, None],
                            counts_k[k], chosen)
     return chosen
 
 
+def _soft_m(cfg: FillConfig) -> int:
+    return _CASCADE_LEVELS if cfg.exact_soft else max(1, cfg.soft_levels)
+
+
 def _accumulate_logw(logw, legal, oh_count_cmajor, cfg: FillConfig):
     """Soft-count accumulation from natural-log weights with double range.
 
-    ``cfg.exact_soft=False``: plain f32 (weights below ~1e-38 vanish; the
-    fast production path).  ``True``: a 6-level scaled cascade — level k
-    accumulates exp(logw + k*SHIFT) with overflowing contributions zeroed,
-    and each output row takes the SHALLOWEST level whose row total exceeds
-    TAU (see invariant above).  Downstream consumers (computeProbsGap
-    normalisation, consensus argmax, re-anchoring frequencies) are per-row
-    scale-invariant, so per-row mixed scaling reproduces the reference's
-    C-double ratios (pow(10, lnP) accumulation, Figbird.cpp:3179) down to
-    1e-308.
+    Runs the first m = soft_levels cascade levels (m=1: plain f32, the r4
+    fast path; exact_soft: all 6).  Level k accumulates exp(logw + k*SHIFT)
+    with overflowing contributions zeroed, and each output row takes the
+    SHALLOWEST level whose row total exceeds TAU (see invariant above).
+    Downstream consumers (computeProbsGap normalisation, consensus argmax,
+    re-anchoring frequencies) are per-row scale-invariant, so per-row mixed
+    scaling reproduces the reference's C-double ratios (pow(10, lnP)
+    accumulation, Figbird.cpp:3179) down to 1e-308.
+
+    Returns (counts (W,5), deepest-level row totals (W,)) — the totals feed
+    the precision-risk flag (rows still <= TAU at the deepest computed
+    level need the full cascade).
     """
-    if not cfg.exact_soft:
+    m = _soft_m(cfg)
+    if m == 1:
         w = jnp.where(legal, jnp.exp(jnp.maximum(logw, -700.0)), 0.0)
-        return _accumulate(w, oh_count_cmajor, cfg)
-    counts_k = _accumulate_levels(logw, legal, oh_count_cmajor, cfg.L, cfg.W)
-    return _select_levels(counts_k)
+        counts = _accumulate(w, oh_count_cmajor, cfg)
+        return counts, counts.sum(axis=-1)
+    counts_k = _accumulate_levels(logw, legal, oh_count_cmajor, cfg.L,
+                                  cfg.W, m)
+    return _select_levels(counts_k), counts_k[-1].sum(axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -681,11 +732,13 @@ def _coverage_band(cfg: FillConfig, leg, lens, p0):
         jnp.zeros((cfg.W,), bool), loc, (p0,))
 
 
-def _prec_risk(cfg: FillConfig, soft_counts, cov, gap_zone):
+def _prec_risk(cfg: FillConfig, deep_total, cov, gap_zone):
+    """deep_total: row totals at the deepest computed level (from the soft
+    accumulate) — rows still <= TAU there would select an uncomputed level
+    in the full cascade."""
     if cfg.exact_soft or not cfg.detect_prec:
         return jnp.bool_(False)
-    total = soft_counts.sum(axis=-1)
-    return jnp.any(gap_zone & cov & (total <= _CASCADE_TAU))
+    return jnp.any(gap_zone & cov & (deep_total <= _CASCADE_TAU))
 
 
 def _detect_overlap_partial(cfg, inst, accept, pos_gap, bonus_cap=None):
@@ -1059,15 +1112,15 @@ def _place_partial(cfg, inst, model, probs, eprobs, track_orig):
         oh_score, probs, eprobs, model["e_fwd"], p0l, cfg), NEG)
     ln2 = jnp.where(leg2, _score_soft_band(
         oh_score, probs, eprobs, model["e_fwd"], p0r, cfg), NEG)
-    soft = _soft_counts_banded(LN10 * ln1, leg1, LN10 * ln2, leg2, p0r,
-                               oh_count, cfg)
+    soft, deep_total = _soft_counts_banded(LN10 * ln1, leg1, LN10 * ln2,
+                                           leg2, p0r, oh_count, cfg)
     counts = jnp.where(gap_zone[:, None], soft, _counts_flank(inst, cfg))
     if cfg.detect_prec and not cfg.exact_soft:
         eff1 = leg1 & (LN10 * ln1 >= _MIN_LOGW_REP)
         eff2 = leg2 & (LN10 * ln2 >= _MIN_LOGW_REP)
         cov = _coverage_band(cfg, eff1, inst["p_len"], p0l) \
             | _coverage_band(cfg, eff2, inst["p_len"], p0r)
-        prec = _prec_risk(cfg, soft, cov, gap_zone)
+        prec = _prec_risk(cfg, deep_total, cov, gap_zone)
     else:
         prec = jnp.bool_(False)
 
@@ -1165,11 +1218,11 @@ def _place_unmapped(cfg, inst, model, probs, eprobs, finalize_flag: bool,
     lnP = jnp.where(rev, ln_r, ln_f) + prior
     lnP = jnp.where(legal, lnP, NEG)
     logw_u = 0.5 * lnP / LN10
-    soft = _accumulate_logw(logw_u, legal, oh_cnt, cfg)
+    soft, deep_total = _accumulate_logw(logw_u, legal, oh_cnt, cfg)
     counts = jnp.where(gap_zone[:, None], soft, prep["flank"])
     if cfg.detect_prec and not cfg.exact_soft:
         eff = legal & (logw_u >= _MIN_LOGW_REP)
-        prec = _prec_risk(cfg, soft,
+        prec = _prec_risk(cfg, deep_total,
                           _coverage_full(cfg, eff, inst["u_len"]), gap_zone)
     else:
         prec = jnp.bool_(False)

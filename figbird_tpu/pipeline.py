@@ -387,16 +387,25 @@ class Pipeline:
         t0 = time.time()
         gshard = (self.mesh is not None
                   and self.mesh.shape.get("genome", 1) > 1)
-        idx = build_index(genome, k=15, device_tables=not gshard)
+        # contig-range sharding derives per-shard LOCAL tables from the flat
+        # alone (parallel/sharded.split_index_by_contig) — skip the host
+        # argsort of the global table, which at >2^31 bases would cost tens
+        # of GB and minutes (BASELINE config 5)
+        from .align.core import host_flat_ok as _hfok
+
+        total_bases = sum(int(l) for l in genome.lengths)
+        contig_big = gshard and (
+            self.aligner_kwargs.get("genome_shard") == "contig"
+            or not _hfok(total_bases))
+        idx = build_index(genome, k=15,
+                          device_tables=(not gshard) or contig_big)
         self.timer.add("index_build", time.time() - t0)
         params = e2e_params(self.align_params) if end_to_end \
             else self.align_params
         # model learning runs on device; skip the mismatch-mask D2H.
         # Exception: genomes past the replicated-flat budget (contig-sharded,
         # no device stats) fall back to host learning, which needs the mask.
-        from .align.core import host_flat_ok as _hfok
-
-        if _hfok(sum(int(l) for l in genome.lengths)):
+        if _hfok(total_bases):
             params = _replace(params, want_mism=False)
         t0 = time.time()
         al = Aligner(idx, params, mesh=self.mesh,

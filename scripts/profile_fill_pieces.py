@@ -99,7 +99,8 @@ def make(kind):
             if kind == "score_only":
                 acc = acc + jnp.sum(lnP)
                 continue
-            soft = EM._accumulate_logw(EM.LN10 * lnP, legal, oh_count, cfg)
+            soft, _dt = EM._accumulate_logw(EM.LN10 * lnP, legal, oh_count,
+                                            cfg)
             counts = jnp.where(gap_zone[:, None], soft,
                                EM._counts_flank(inst, cfg))
             probs = EM.compute_probs_gap(counts)
@@ -127,8 +128,18 @@ def make(kind):
     return lambda: run(gi_, gl_)
 
 
-timed("REAL fill_batch_scan", lambda: EM.fill_batch_scan(
-    cfg, ga, gi_, gl_, marr, finalize_flag=False))
+from dataclasses import replace as _rc
+
+for name, c in (
+        ("scan m=1 nodetect (r4 fast)",
+         _rc(cfg, soft_levels=1, detect_prec=False)),
+        ("scan m=1 +detect", _rc(cfg, soft_levels=1, detect_prec=True)),
+        ("scan m=3 +detect", _rc(cfg, soft_levels=3, detect_prec=True)),
+        ("scan m=6 exact", _rc(cfg, exact_soft=True, detect_prec=False)),
+):
+    timed("REAL fill_batch_scan " + name,
+          lambda c=c: EM.fill_batch_scan(c, ga, gi_, gl_, marr,
+                                         finalize_flag=False))
 timed("stack_only (gather+init)", make("stack_only"))
 timed("score_only (3x fused soft score)", make("score_only"))
 timed("soft3 (score+accumulate x3)", make("soft3"))

@@ -292,7 +292,7 @@ def test_precision_escalation_unmapped(model):
         b.u_rev.append(1)
 
     kw = dict(partial_mode=False, partial_len=L, max_scan_lengths=24)
-    res_auto = fill_gaps(genome, [gap], [b], model, **kw)  # default: auto
+    res_auto = fill_gaps(genome, [gap], [b], model, exact_soft="auto", **kw)
     res_exact = fill_gaps(genome, [gap], [b], model, exact_soft=True, **kw)
     assert any(k.startswith("esc_exact") for k in res_auto.stats), \
         f"no precision escalation fired: {res_auto.stats}"
@@ -319,6 +319,6 @@ def test_precision_escalation_partial(model):
         b.p_qual.append(np.full(L, 1e-3, np.float32))
 
     kw = dict(partial_mode=True, partial_len=L, max_scan_lengths=40)
-    res_auto = fill_gaps(genome, [gap], [b], model, **kw)
+    res_auto = fill_gaps(genome, [gap], [b], model, exact_soft="auto", **kw)
     res_exact = fill_gaps(genome, [gap], [b], model, exact_soft=True, **kw)
     assert np.array_equal(res_auto.gap_strings[0], res_exact.gap_strings[0])
