@@ -918,10 +918,15 @@ def fill_gaps(
     read_len: int | None = None,
     em_iters_unmapped: int = 48,
     instance_batch: int | None = None,
-    # stride-sampled candidate-length budget.  96 produces gap strings
-    # identical to the UNCAPPED scan on the E. coli bench dataset (both
-    # measured directly; bench.py re-checks outputs_equal every run)
-    max_scan_lengths: int = 96,
+    # stride-sampled candidate-length budget.  Default: 96 in partial mode
+    # (identical strings to the UNCAPPED scan on the E. coli bench dataset,
+    # re-checked by bench.py's outputs_equal every run) and UNCAPPED (0) in
+    # unmapped mode — the reference's plateau exit there is 50 consecutive
+    # non-improving lengths (Figbird.cpp:6258 jump branch), so nearly every
+    # candidate is evaluated and stride sampling DID change 6/50 bench gap
+    # strings (r5 bisect); the block-lazy replay reproduces the plateau
+    # exit instead.
+    max_scan_lengths: int | None = None,
     scan_block: int = 64,
     mesh=None,
     reference_exact: bool = False,
@@ -936,20 +941,30 @@ def fill_gaps(
     underflow (``exact_soft`` cascade) — used by the golden parity tests.
 
     ``exact_soft``: ``None``/``True`` (production default) = the full
-    double-range cascade on every instance — bit-identical to the
-    reference's C-double soft accumulation by construction.  The cascade's
-    levels stack into grouped matmuls with select-then-assemble folds, so
-    it costs ~2.2x the plain-f32 scan (measured v5e) — cheaper than lazy
-    escalation, because underflow-divergent rows turn out to be the NORM
-    in candidate-length scans (~94% of instances flag), not the exception.
-    ``"auto"`` = that lazy mode (fast pass + underflow detection + exact
-    re-runs of flagged instances; kept for experiments); ``False`` = plain
-    f32 only, no detection (bench.py's precision-attribution trial).
+    6-level double-range cascade on every dispatch — bit-identical to the
+    reference's C-double soft accumulation by construction (the
+    golden-parity configuration; ~2.2x the plain-f32 scan cost, v5e).
+    ``"hybrid"`` (experimental) = fast 3-level mini-cascade in length-scan/
+    probe dispatches, exact cascade in every output-producing dispatch
+    (winner/orig/second re-runs, finalize) — measured r5: scan-precision
+    knife-edges flip candidate-length choices (1/50 bench p gaps), so this
+    is NOT precision-equal in general.  ``"auto"`` = lazy escalation (fast
+    pass + underflow detection + exact re-runs of flagged instances; kept
+    for experiments — detection flags ~94% of scan instances, so it costs
+    more than exact-everywhere).  ``False`` = plain f32 only, no detection
+    (bench.py's precision-attribution trial).
     """
     if exact_soft is None:
         exact_soft = True
     prec_escalate = exact_soft == "auto"
-    use_exact_soft = exact_soft is True
+    use_exact_soft = exact_soft in (True, "hybrid")
+    # "hybrid" (experimental, NOT default): length-SCAN dispatches (incl.
+    # probes) run the fast mini-cascade; every output-producing dispatch
+    # (winner/orig/second re-run, finalize) runs the full exact cascade.
+    # Measured r5: scan-precision knife-edges DO flip candidate-length
+    # choices (1/50 bench p gaps diverged), so the production default keeps
+    # the exact cascade in the scan too.
+    scan_fast = exact_soft == "hybrid"
     if soft_levels is None:
         # fast-path mini-cascade depth (em.FillConfig.soft_levels): 3 levels
         # stack into ONE accumulate matmul (_CASCADE_GROUP), so the flag
@@ -959,6 +974,8 @@ def fill_gaps(
 
         soft_levels = 1 if exact_soft is False else int(
             _os.environ.get("FIGBIRD_SOFT_LEVELS", "3"))
+    if max_scan_lengths is None:
+        max_scan_lengths = 96 if partial_mode else 0
     if reference_exact:
         max_scan_lengths = 0
         em_iters_unmapped = 200  # reference num_itr (Figbird.cpp:6225)
@@ -1056,7 +1073,8 @@ def fill_gaps(
                      ib, scan_block, out_strings, placements, stats,
                      second_best, mesh=mesh,
                      staged_scan=not reference_exact,
-                     prec_escalate=prec_escalate)
+                     prec_escalate=prec_escalate,
+                     scan_fast=scan_fast, scan_soft_levels=soft_levels)
     logger.info("fill timers: %s scan_instances=%d",
                 {k: v for k, v in stats.items() if k.startswith("t_")},
                 stats.get("scan_instances", 0))
@@ -1068,7 +1086,7 @@ def fill_gaps(
 def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
                  instance_batch, scan_block, out_strings, placements, stats,
                  second_best=None, mesh=None, staged_scan=True,
-                 prec_escalate=False):
+                 prec_escalate=False, scan_fast=False, scan_soft_levels=3):
     """Scan + winner re-run + finalize for one shape bucket.
 
     Tunnel-aware phasing: every D2H transfer pays a ~0.3 s fixed cost on a
@@ -1121,15 +1139,27 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
               and cfg.em_iters > STAGE_ITERS)
     from dataclasses import replace as _replace_cfg
 
-    _tier_cfgs = {"full": cfg}
+    # precision bases: scan tiers may run the fast mini-cascade (hybrid
+    # mode); re-run tiers ("x" prefix) and finalize always run cfg (exact
+    # when the production default) — the scan only selects lengths/replay
+    # scalars, the re-run produces every output string
+    _scan_base = (_replace_cfg(cfg, exact_soft=False, detect_prec=False,
+                               soft_levels=scan_soft_levels)
+                  if scan_fast else cfg)
+    _tier_cfgs = {"full": _scan_base, "xfull": cfg}
     if staged:
-        _tier_cfgs["fast"] = _replace_cfg(cfg, em_iters=STAGE_ITERS)
+        _tier_cfgs["fast"] = _replace_cfg(_scan_base, em_iters=STAGE_ITERS)
+        _tier_cfgs["xfast"] = _replace_cfg(cfg, em_iters=STAGE_ITERS)
 
     def _cfg_for(tier: str) -> FillConfig:
         c = _tier_cfgs.get(tier)
         if c is None:
-            base = cfg if not tier.startswith("exact") else _replace_cfg(
-                cfg, exact_soft=True, detect_prec=False)
+            if tier.startswith("exact"):
+                base = _replace_cfg(cfg, exact_soft=True, detect_prec=False)
+            elif tier.startswith("x"):
+                base = cfg
+            else:
+                base = _scan_base
             iters = REF_EM_ITERS if tier.endswith("200") \
                 else max(cfg.em_iters, 1)
             c = _replace_cfg(base, em_iters=iters)
@@ -1137,19 +1167,52 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
         return c
 
     _tier0 = "fast" if staged else "full"
+    _rtier0 = "xfast" if staged else "xfull"
 
-    def run_scan(gi_, gl_, tier="full"):
-        return fill_batch_scan(_cfg_for(tier), gap_arrays, put_i(gi_),
+    # width classes for scan/probe dispatches: every legal placement of a
+    # candidate length ``glen`` lives in window offsets [WL-L, WL+glen+L)
+    # (_legal_unmapped rng / the partial bands), so an instance with
+    # glen <= gbs runs BIT-IDENTICALLY in a cfg resized to max_gap_len=gbs
+    # — same formulas, smaller W.  The bucket's gb is the per-GAP maximum
+    # over its whole scan; most candidates are far shorter (all 50 bench u
+    # gaps landed in gb=512 while 2/3 of candidates fit 128), so dispatching
+    # each wave at the tightest class cuts the scan's padded compute ~2x.
+    _w_classes = sorted({w for w in GAP_BUCKETS if w < cfg.max_gap_len}
+                        | {cfg.max_gap_len})
+
+    def _wclass(ln: int) -> int:
+        for w in _w_classes:
+            if ln <= w:
+                return w
+        return cfg.max_gap_len
+
+    def _cfg_for_w(tier: str, width: int) -> FillConfig:
+        key = (tier, width)
+        c = _tier_cfgs.get(key)
+        if c is None:
+            base = _cfg_for(tier)
+            c = base if width == cfg.max_gap_len else _replace_cfg(
+                base, max_gap_len=width, W=cfg.L + width + cfg.L,
+                Wp=cfg.L + width)
+            _tier_cfgs[key] = c
+        return c
+
+    def run_scan(gi_, gl_, tier="full", width=None):
+        c = _cfg_for_w(tier, width or cfg.max_gap_len)
+        return fill_batch_scan(c, gap_arrays, put_i(gi_),
                                put_i(gl_), marr, finalize_flag=large_flag)
 
     # checkGapReads probes run with finalize extras ON but no large-gap
     # break (run(i,fp,g,1,1) — Figbird.cpp:6097)
-    def run_probe(gi_, gl_, tier="full"):
-        return fill_batch_scan(_cfg_for(tier), gap_arrays, put_i(gi_),
+    def run_probe(gi_, gl_, tier="full", width=None):
+        c = _cfg_for_w(tier, width or cfg.max_gap_len)
+        return fill_batch_scan(c, gap_arrays, put_i(gi_),
                                put_i(gl_), marr, finalize_flag=True,
                                large_break=False)
 
-    def run_full(gi_, gl_, tier="full"):
+    def run_full(gi_, gl_, tier="full", width=None):
+        # full-packed outputs are layout-dependent on max_gap_len: always
+        # full width (re-runs are 2-3 instances per gap — not the hot path)
         return fill_batch_full_packed(_cfg_for(tier), gap_arrays, put_i(gi_),
                                       put_i(gl_), marr,
                                       finalize_flag=large_flag)
@@ -1167,35 +1230,85 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
         gl_ = jnp.asarray(np.asarray(list(le) + [1] * pad, np.int32))
         return gi_, gl_
 
-    def _dispatch_rows(fn, rows, lens, tier, batch):
-        parts = []
-        for c0 in range(0, len(rows), batch):
-            gi_, gl_ = _pad_chunk(rows[c0 : c0 + batch],
-                                  lens[c0 : c0 + batch], batch)
-            parts.append(fn(gi_, gl_, tier=tier))
-        if not parts:
-            return np.zeros((0, 1), np.float32)
-        return np.concatenate([np.asarray(b) for b in
-                               jax.device_get(parts)])[: len(rows)]
+    def _chunk_sizes(m: int, batch: int):
+        """Chunk m instances: full ``batch`` chunks + ONE rounded-up tail
+        from a fixed ladder (bounds both padded compute — a 118-lane
+        escalation wave used to pad to the full 494 batch, 4x its work —
+        and program count)."""
+        ladder = [s for s in (64, 128, 256) if s < batch]
+        out = []
+        while m > 0:
+            if m >= batch:
+                out.append(batch)
+                m -= batch
+            else:
+                out.append(next((s for s in ladder if m <= s), batch))
+                m = 0
+        return out
 
-    def _escalate(fn, rows, lens, host, bail_col, prec_col, batch, label):
+    def _dispatch_rows(fn, rows, lens, tier, batch, widths=False,
+                       t_disp=None, t_get=None):
+        """Dispatch (row, len) instances; returns the packed (n, C) host
+        matrix in input order.  ``widths=True`` partitions instances into
+        the tightest width class (scan/probe programs only — identical
+        results at any width >= the candidate length, see _w_classes)."""
+        n = len(rows)
+        if not n:
+            return np.zeros((0, 1), np.float32)
+        if widths and len(_w_classes) > 1:
+            cls = np.asarray([_wclass(l) for l in lens])
+            groups = [(w, np.flatnonzero(cls == w)) for w in _w_classes
+                      if int(np.sum(cls == w))]
+        else:
+            groups = [(None, np.arange(n))]
+        _td = _time.time()
+        parts = []
+        for w, idx in groups:
+            c0 = 0
+            for sz in _chunk_sizes(len(idx), batch):
+                sel = idx[c0 : c0 + sz]
+                c0 += sz
+                gi_, gl_ = _pad_chunk([rows[i] for i in sel],
+                                      [lens[i] for i in sel], sz)
+                parts.append((sel, fn(gi_, gl_, tier=tier, width=w)))
+        if t_disp:
+            stats[t_disp] = stats.get(t_disp, 0) + round(
+                _time.time() - _td, 3)
+        _td = _time.time()
+        hosts = jax.device_get([p for _, p in parts])
+        out = None
+        for (sel, _), h in zip(parts, hosts):
+            h = np.asarray(h)
+            if out is None:
+                out = np.zeros((n, h.shape[1]), h.dtype)
+            out[sel] = h[: len(sel)]
+        if t_get:
+            stats[t_get] = stats.get(t_get, 0) + round(_time.time() - _td, 3)
+        return out
+
+    def _escalate(fn, rows, lens, host, bail_col, prec_col, batch, label,
+                  xtier=False, widths=False):
         """Escalation chain, in place on ``host``:
-        bailed -> full-cap -> 200-cap;  prec -> exact (-> exact 200-cap)."""
+        bailed -> full-cap -> 200-cap;  prec -> exact (-> exact 200-cap).
+        ``xtier``: use the exact-precision ("x") tier family (re-runs)."""
+        pre = "x" if xtier else ""
+
         def _rerun(sel, tier, counter):
             if not sel.size:
                 return
             _td = _time.time()
             sub = _dispatch_rows(fn, [rows[i] for i in sel],
-                                 [lens[i] for i in sel], tier, batch)
+                                 [lens[i] for i in sel], tier, batch,
+                                 widths=widths)
             host[sel] = sub
             stats[counter] = stats.get(counter, 0) + int(sel.size)
             stats["t_scan_esc"] = stats.get("t_scan_esc", 0) + round(
                 _time.time() - _td, 3)
 
         if staged:
-            _rerun(np.flatnonzero(host[:, bail_col] != 0), "full",
+            _rerun(np.flatnonzero(host[:, bail_col] != 0), pre + "full",
                    f"esc_full_{label}")
-            _rerun(np.flatnonzero(host[:, bail_col] != 0), "full200",
+            _rerun(np.flatnonzero(host[:, bail_col] != 0), pre + "full200",
                    f"esc_200_{label}")
         if prec_escalate:
             _rerun(np.flatnonzero(host[:, prec_col] != 0), "exact",
@@ -1218,22 +1331,12 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
         8-iteration program first and only bailed lanes pay deeper
         programs; prec-flagged lanes re-run with the exact cascade.
         Returns (n, SCAN_COLS)."""
-        _td = _time.time()
         fn = run_probe if probe else run_scan
-        out_parts = []
-        for c0 in range(0, len(rows), nb):
-            gi_, gl_ = _pad_chunk(rows[c0 : c0 + nb], lens[c0 : c0 + nb])
-            out_parts.append(fn(gi_, gl_, tier=_tier0))
-        stats["t_scan_disp"] = stats.get("t_scan_disp", 0) + round(
-            _time.time() - _td, 3)
-        _td = _time.time()
-        host = np.concatenate([np.asarray(b) for b in
-                               jax.device_get(out_parts)])[: len(rows)]
-        stats["t_scan_get"] = stats.get("t_scan_get", 0) + round(
-            _time.time() - _td, 3)
+        host = _dispatch_rows(fn, rows, lens, _tier0, nb, widths=True,
+                              t_disp="t_scan_disp", t_get="t_scan_get")
         stats["scan_instances"] += len(rows)
         _escalate(fn, rows, lens, host, 7, 8, nb,
-                  "probe" if probe else "scan")
+                  "probe" if probe else "scan", widths=True)
         return host
 
     # ---- read-count probe for small unmapped gaps (checkGapReads) --------
@@ -1379,10 +1482,11 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
     _td = _time.time()
     # 2-3 instances per gap: pad to a small fixed batch
     nbr = min(nb, 256)
-    rr_host = _dispatch_rows(run_full, rr_rows, rr_lens, _tier0, nbr)
+    rr_host = _dispatch_rows(run_full, rr_rows, rr_lens, _rtier0, nbr)
     if len(rr_rows):
         _escalate(run_full, rr_rows, rr_lens, rr_host,
-                  lay["bailed"][0], lay["prec"][0], nbr, "rerun")
+                  lay["bailed"][0], lay["prec"][0], nbr, "rerun",
+                  xtier=True)
     stats["t_rerun"] = stats.get("t_rerun", 0) + round(_time.time() - _td, 3)
     rr = {}
     for t, (gi, tag, ln) in enumerate(rr_key):

@@ -1294,6 +1294,18 @@ def _place_unmapped(cfg, inst, model, probs, eprobs, finalize_flag: bool,
                 prec=prec)
 
 
+def _unroll_stage0() -> bool:
+    """Opt-in unroll of the short-cap stage-0 EM loop.  A microbenchmark
+    showed ~35% per-dispatch gains, but in the real pipeline the vmapped
+    while_loop already exits early for fully-converged batches (its cond is
+    any-lane), so warm walls were IDENTICAL (44.4 vs 42.3 s u-pass, r5) and
+    the 8x-unrolled programs compile much slower — default off."""
+    import os as _os
+
+    return _os.environ.get("FIGBIRD_UNROLL_STAGE0", "0") not in (
+        "0", "false", "")
+
+
 def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool,
                          large_break: bool | None = None):
     """Unmapped EM: iterate until consensus stable 5x or iteration cap.
@@ -1367,7 +1379,19 @@ def em_unmapped_instance(cfg: FillConfig, inst, model, finalize_flag: bool,
                     region_perct=out["region_perct"], discont=out["discont"],
                     prec=s["prec"] | out["prec"])
 
-    s = jax.lax.while_loop(cond, body, init)
+    if cfg.em_iters <= 8 and _unroll_stage0():
+        # short-cap (stage-0) programs: unroll — XLA pipelines/fuses across
+        # iterations where a while_loop forces a barrier per trip (measured
+        # ~35% cheaper on v5e at the bench's u bucket).  Converged lanes'
+        # state is frozen by selection, identical to the while_loop's exit.
+        s = init
+        for _ in range(cfg.em_iters):
+            live = cond(s)
+            s2 = body(s)
+            s = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(live, b, a), s, s2)
+    else:
+        s = jax.lax.while_loop(cond, body, init)
 
     if not finalize_flag:
         # one finalize-mode placeReads after convergence (6348-6352)
