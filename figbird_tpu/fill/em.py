@@ -152,6 +152,23 @@ def _oh_flat_c(reads: jnp.ndarray, jvalid: jnp.ndarray) -> jnp.ndarray:
     return ((r5 == cvec[None, :]) & v5).astype(jnp.float32)
 
 
+def _use_count_kernel(n_reads: int) -> bool:
+    from ..ops.band import cascade_counts_ok
+
+    return cascade_counts_ok(n_reads)
+
+
+def _oh_count_for(reads: jnp.ndarray, jvalid: jnp.ndarray
+                  ) -> tuple[jnp.ndarray, bool]:
+    """COUNT one-hots in the layout the active accumulate path wants:
+    (tensor, jmajor).  TPU fused fold kernel: j-major (each fold step j
+    reads a contiguous 5-row block of the VMEM product).  XLA skew-fold
+    fallback: c-major."""
+    if _use_count_kernel(reads.shape[0]):
+        return _oh_flat_j(reads, jvalid), True
+    return _oh_flat_c(reads, jvalid), False
+
+
 def compute_probs_gap(counts: jnp.ndarray) -> jnp.ndarray:
     """computeProbsGap (Figbird.cpp:2090-2116): counts (W,5) -> probs (W,5)."""
     total = counts.sum(axis=-1, keepdims=True)
@@ -501,11 +518,15 @@ def _legal_partial_band(cfg: FillConfig, inst, p0, own_left: bool):
     return rng & ins_ok & inst["p_valid"][:, None] & own
 
 
-def _accumulate_band(weights, oh_count_cmajor, L: int):
+def _accumulate_band(weights, oh_count, L: int, jmajor: bool = False):
     """(P, band_w) weights -> (band_w+L, 5) band-local counts."""
     bw = weights.shape[1]
+    if jmajor:
+        from ..ops.band import fold_counts
+
+        return fold_counts(weights, oh_count, L, bw + L)
     cwT = jax.lax.dot_general(
-        oh_count_cmajor, weights, (((0,), (0,)), ((), ())),
+        oh_count, weights, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     return _fold_counts_T(cwT, L, bw + L)
 
@@ -519,7 +540,8 @@ def _assemble_bands(fold1, fold2, p0r, cfg: FillConfig):
     return jax.lax.dynamic_update_slice(out, cur + fold2, (p0r, jnp.int32(0)))
 
 
-def _soft_counts_banded(logw1, legal1, logw2, legal2, p0r, oh_c, cfg):
+def _soft_counts_banded(logw1, legal1, logw2, legal2, p0r, oh_c, cfg,
+                        jmajor: bool = False):
     """Banded soft-count accumulation with the same depth modes as
     :func:`_accumulate_logw` (the cascade level is selected per assembled
     ROW, after both bands' contributions combine).  Returns
@@ -528,12 +550,15 @@ def _soft_counts_banded(logw1, legal1, logw2, legal2, p0r, oh_c, cfg):
     if m == 1:
         w1 = jnp.where(legal1, jnp.exp(jnp.maximum(logw1, -700.0)), 0.0)
         w2 = jnp.where(legal2, jnp.exp(jnp.maximum(logw2, -700.0)), 0.0)
-        counts = _assemble_bands(_accumulate_band(w1, oh_c, cfg.L),
-                                 _accumulate_band(w2, oh_c, cfg.L), p0r, cfg)
+        counts = _assemble_bands(
+            _accumulate_band(w1, oh_c, cfg.L, jmajor),
+            _accumulate_band(w2, oh_c, cfg.L, jmajor), p0r, cfg)
         return counts, counts.sum(axis=-1)
     bw = _band_w(cfg)
-    ck1 = _accumulate_levels(logw1, legal1, oh_c, cfg.L, bw + cfg.L, m)
-    ck2 = _accumulate_levels(logw2, legal2, oh_c, cfg.L, bw + cfg.L, m)
+    ck1 = _accumulate_levels(logw1, legal1, oh_c, cfg.L, bw + cfg.L, m,
+                             jmajor)
+    ck2 = _accumulate_levels(logw2, legal2, oh_c, cfg.L, bw + cfg.L, m,
+                             jmajor)
     # select-then-assemble: the level choice needs ASSEMBLED row totals,
     # which are cheap (m scalar-vector assembles); the expensive full
     # (W, 5) assemble then runs ONCE on band-locally selected counts
@@ -591,12 +616,18 @@ def _combine_bands_max(s1, s2, p0r):
     return jnp.where(use1, m1, m2), jnp.where(use1, a1, a2)
 
 
-def _accumulate(weights, oh_count_cmajor, cfg):
+def _accumulate(weights, oh_count, cfg, jmajor: bool = False):
     """Soft/hard count accumulation: contract the read axis with the
     one-hots on the LHS so cw comes out TRANSPOSED ((N,5L) x (N,Wp) ->
-    (5L,Wp)) and the diagonal fold needs no relayout (_fold_counts_T)."""
+    (5L,Wp)) and the diagonal fold needs no relayout (_fold_counts_T).
+    ``jmajor``: TPU path — the fused fold kernel (ops.band.fold_counts)
+    with j-major one-hots; the (5L, Wp) product never touches HBM."""
+    if jmajor:
+        from ..ops.band import fold_counts
+
+        return fold_counts(weights, oh_count, cfg.L, cfg.W)
     cwT = jax.lax.dot_general(
-        oh_count_cmajor, weights, (((0,), (0,)), ((), ())),
+        oh_count, weights, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     return _fold_counts_T(cwT, cfg.L, cfg.W)
@@ -629,9 +660,15 @@ def _level_weight(logw, legal, k):
                      jnp.exp(jnp.clip(lk, -745.0, _CASCADE_CUT)), 0.0)
 
 
-def _accumulate_levels(logw, legal, oh_count_cmajor, L: int, W: int,
-                       m: int = _CASCADE_LEVELS):
+def _accumulate_levels(logw, legal, oh_count, L: int, W: int,
+                       m: int = _CASCADE_LEVELS, jmajor: bool = False):
     """First ``m`` cascade levels' folded counts as (m, W, 5), stacked."""
+    if jmajor:
+        from ..ops.band import cascade_counts
+
+        lw = jnp.where(legal, logw, -1e30)
+        return cascade_counts(lw, oh_count, L, W, m,
+                              _CASCADE_SHIFT, _CASCADE_CUT)
     N, Pw = logw.shape
     outs = []
     for g0 in range(0, m, _CASCADE_GROUP):
@@ -639,12 +676,16 @@ def _accumulate_levels(logw, legal, oh_count_cmajor, L: int, W: int,
         wk = jnp.concatenate([_level_weight(logw, legal, k) for k in ks],
                              axis=1)                       # (N, len*Pw)
         cwT = jax.lax.dot_general(
-            oh_count_cmajor, wk, (((0,), (0,)), ((), ())),
+            oh_count, wk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (5L, len*Pw)
-        cw3 = cwT.reshape(cwT.shape[0], len(ks), Pw)
-        outs.append(jax.vmap(lambda c: _fold_counts_T(c, L, W),
-                             in_axes=1)(cw3))              # (len, W, 5)
-    return jnp.concatenate(outs, axis=0)                   # (K, W, 5)
+        # fold each level's CONTIGUOUS column slice separately: a vmap with
+        # in_axes=1 over the (5L, len, Pw) view forced strided relayouts
+        # that cost ~2x the folds themselves (62 vs 28 ms/iter at the bench
+        # u shape, v5e) — identical per-column arithmetic either way
+        outs += [_fold_counts_T(
+            jax.lax.slice_in_dim(cwT, i * Pw, (i + 1) * Pw, axis=1), L, W)
+            for i in range(len(ks))]
+    return jnp.stack(outs, axis=0)                         # (K, W, 5)
 
 
 def _select_levels(counts_k):
@@ -664,7 +705,8 @@ def _soft_m(cfg: FillConfig) -> int:
     return _CASCADE_LEVELS if cfg.exact_soft else max(1, cfg.soft_levels)
 
 
-def _accumulate_logw(logw, legal, oh_count_cmajor, cfg: FillConfig):
+def _accumulate_logw(logw, legal, oh_count, cfg: FillConfig,
+                     jmajor: bool = False):
     """Soft-count accumulation from natural-log weights with double range.
 
     Runs the first m = soft_levels cascade levels (m=1: plain f32, the r4
@@ -683,10 +725,10 @@ def _accumulate_logw(logw, legal, oh_count_cmajor, cfg: FillConfig):
     m = _soft_m(cfg)
     if m == 1:
         w = jnp.where(legal, jnp.exp(jnp.maximum(logw, -700.0)), 0.0)
-        counts = _accumulate(w, oh_count_cmajor, cfg)
+        counts = _accumulate(w, oh_count, cfg, jmajor)
         return counts, counts.sum(axis=-1)
-    counts_k = _accumulate_levels(logw, legal, oh_count_cmajor, cfg.L,
-                                  cfg.W, m)
+    counts_k = _accumulate_levels(logw, legal, oh_count, cfg.L,
+                                  cfg.W, m, jmajor)
     return _select_levels(counts_k), counts_k[-1].sum(axis=-1)
 
 
@@ -1102,7 +1144,7 @@ def _place_partial(cfg, inst, model, probs, eprobs, track_orig):
     jv_score = jv_count & jnp.where(left, j >= cfg.clip_thresh,
                                     j < plen - cfg.clip_thresh)
     oh_score = _oh_flat_j(inst["pr"], jv_score)
-    oh_count = _oh_flat_c(inst["pr"], jv_count)
+    oh_count, oh_jm = _oh_count_for(inst["pr"], jv_count)
     gap_zone = _gap_zone(inst, cfg)
     p0l, p0r = _band_starts(cfg, inst["gap_len"])
     leg1 = _legal_partial_band(cfg, inst, p0l, True)
@@ -1113,7 +1155,7 @@ def _place_partial(cfg, inst, model, probs, eprobs, track_orig):
     ln2 = jnp.where(leg2, _score_soft_band(
         oh_score, probs, eprobs, model["e_fwd"], p0r, cfg), NEG)
     soft, deep_total = _soft_counts_banded(LN10 * ln1, leg1, LN10 * ln2,
-                                           leg2, p0r, oh_count, cfg)
+                                           leg2, p0r, oh_count, cfg, oh_jm)
     counts = jnp.where(gap_zone[:, None], soft, _counts_flank(inst, cfg))
     if cfg.detect_prec and not cfg.exact_soft:
         eff1 = leg1 & (LN10 * ln1 >= _MIN_LOGW_REP)
@@ -1190,9 +1232,15 @@ def _unmapped_prep(cfg, inst, model):
     j = jnp.arange(L)[None, :]
     jv = j < inst["u_len"][:, None]
     legal, t_ins = _legal_unmapped(cfg, inst, model)
+    oh = _oh_flat_j(inst["ur"], jv)
+    # kernel path: score and count masks are IDENTICAL in unmapped mode, so
+    # the j-major score one-hot doubles as the count one-hot — one (R, 5L)
+    # f32 materialisation instead of two
+    oh_jm = _use_count_kernel(R)
     return dict(
-        oh=_oh_flat_j(inst["ur"], jv),
-        oh_cnt=_oh_flat_c(inst["ur"], jv),
+        oh=oh,
+        oh_cnt=oh if oh_jm else _oh_flat_c(inst["ur"], jv),
+        oh_jm=oh_jm,
         legal=legal,
         prior=model["ln_ins"][t_ins],
         rev=(inst["u_rev"] == 1)[:, None],
@@ -1218,7 +1266,8 @@ def _place_unmapped(cfg, inst, model, probs, eprobs, finalize_flag: bool,
     lnP = jnp.where(rev, ln_r, ln_f) + prior
     lnP = jnp.where(legal, lnP, NEG)
     logw_u = 0.5 * lnP / LN10
-    soft, deep_total = _accumulate_logw(logw_u, legal, oh_cnt, cfg)
+    soft, deep_total = _accumulate_logw(logw_u, legal, oh_cnt, cfg,
+                                        prep["oh_jm"])
     counts = jnp.where(gap_zone[:, None], soft, prep["flank"])
     if cfg.detect_prec and not cfg.exact_soft:
         eff = legal & (logw_u >= _MIN_LOGW_REP)
@@ -1246,7 +1295,7 @@ def _place_unmapped(cfg, inst, model, probs, eprobs, finalize_flag: bool,
     # hard counts at max positions only (3868-3879)
     w_hard = (accept[:, None] & (jnp.arange(cfg.Wp)[None, :] ==
                                  (pos_h + cfg.WL)[:, None])).astype(jnp.float32)
-    new_counts = _accumulate(w_hard, oh_cnt, cfg)
+    new_counts = _accumulate(w_hard, oh_cnt, cfg, prep["oh_jm"])
     new_counts = jnp.where(gap_zone[:, None], new_counts, 0.0)
 
     cons2, cov = consensus_from_counts(new_counts, gap_zone, 1,
@@ -1519,7 +1568,8 @@ def finalize_unmapped_instance(cfg: FillConfig, inst, model, best_string, saved)
     j = jnp.arange(L)[None, :]
     jv = j < inst["u_len"][:, None]
     oh = _oh_flat_j(inst["ur"], jv)
-    oh_cnt = _oh_flat_c(inst["ur"], jv)
+    oh_jm = _use_count_kernel(inst["ur"].shape[0])
+    oh_cnt = oh if oh_jm else _oh_flat_c(inst["ur"], jv)
     legal, _ = _legal_unmapped(cfg, inst, model)
     Kh_f = _hard_K(gap_string, model["a_fwd"], model["b_fwd"], model["ln_et"])
     Kh_r = _hard_K(gap_string, model["a_rev"], model["b_rev"], model["ln_et"])
@@ -1532,7 +1582,7 @@ def finalize_unmapped_instance(cfg: FillConfig, inst, model, best_string, saved)
               & (saved == 1) & inst["u_valid"])
     w_hard = (accept[:, None] & (jnp.arange(cfg.Wp)[None, :] ==
                                  (pos + cfg.WL)[:, None])).astype(jnp.float32)
-    counts = _accumulate(w_hard, oh_cnt, cfg)
+    counts = _accumulate(w_hard, oh_cnt, cfg, oh_jm)
     counts = jnp.where(gap_zone[:, None], counts, 0.0)
 
     gl = inst["gap_len"]
@@ -1567,7 +1617,7 @@ def finalize_partial_instance(cfg: FillConfig, inst, model, best_string,
     jv_score = jv_count & jnp.where(left, j >= cfg.clip_thresh,
                                     j < plen - cfg.clip_thresh)
     oh_score = _oh_flat_j(inst["pr"], jv_score)
-    oh_count = _oh_flat_c(inst["pr"], jv_count)
+    oh_count, oh_jm = _oh_count_for(inst["pr"], jv_count)
     p0l, p0r = _band_starts(cfg, inst["gap_len"])
     leg1 = _legal_partial_band(cfg, inst, p0l, True)
     leg2 = _legal_partial_band(cfg, inst, p0r, False)
@@ -1586,14 +1636,16 @@ def finalize_partial_instance(cfg: FillConfig, inst, model, best_string,
            & (band == arg_h[:, None])).astype(jnp.float32)
     wh2 = (accept[:, None] & (arg_h >= cfg.WL)[:, None]
            & (p0r + band == arg_h[:, None])).astype(jnp.float32)
-    counts = _assemble_bands(_accumulate_band(wh1, oh_count, cfg.L),
-                             _accumulate_band(wh2, oh_count, cfg.L),
+    counts = _assemble_bands(_accumulate_band(wh1, oh_count, cfg.L, oh_jm),
+                             _accumulate_band(wh2, oh_count, cfg.L, oh_jm),
                              p0r, cfg)
     counts = jnp.where(gap_zone[:, None], counts, 0.0)
-    # quality-weighted counts for check_update (5389)
-    ohq = oh_count * jnp.tile(inst["p_qerr"], (1, 5))
-    qual = _assemble_bands(_accumulate_band(wh1, ohq, cfg.L),
-                           _accumulate_band(wh2, ohq, cfg.L), p0r, cfg)
+    # quality-weighted counts for check_update (5389); the j-major layout
+    # repeats each cycle's quality over its 5 base columns
+    ohq = oh_count * (jnp.repeat(inst["p_qerr"], 5, axis=1) if oh_jm
+                      else jnp.tile(inst["p_qerr"], (1, 5)))
+    qual = _assemble_bands(_accumulate_band(wh1, ohq, cfg.L, oh_jm),
+                           _accumulate_band(wh2, ohq, cfg.L, oh_jm), p0r, cfg)
     qual = jnp.where(gap_zone[:, None], qual, 0.0)
 
     gl = inst["gap_len"]

@@ -223,3 +223,148 @@ def band_score_soft(oh_flat, probs, eprobs, e_pos, Wp: int):
 
     K = _soft_K(probs, eprobs, e_pos, probs.shape[0])
     return band_score_reference(oh_flat, K, Wp)
+
+
+# ---------------------------------------------------------------------------
+# fused cascade-accumulate kernel: level weights + count matmul + diagonal
+# fold in one pass.  The XLA path materialises a (5L, Pw) matmul output in
+# HBM per level group and folds it with a pad/reshape skew — ~600 MB of
+# intermediates per dispatch at the bench's u shape, 60 ms/EM-iteration of
+# pure HBM traffic.  Here the (5L, Pw) product lives only in VMEM and the
+# fold is L static row-block adds, so HBM sees just the (N, Pw) weights
+# read and the (m, 5, W) counts write.
+#
+# Layout note: the one-hots must be J-MAJOR (column j*5+c, i.e. _oh_flat_j)
+# so each fold step j reads a CONTIGUOUS 5-row block of the product.
+# ---------------------------------------------------------------------------
+
+
+def _cascade_kernel(lw_ref, oh_ref, out_ref, cw, acc, *, L, C, m,
+                    shift, cut, Pw):
+    """Grid (m,): one cascade level per step.  lw_ref: legal-masked natural
+    log-weights (N, Pwp) with illegal entries at -1e30 (exp underflows to
+    exactly 0.0 in f32, matching _level_weight's explicit zero).  oh_ref:
+    j-major COUNT one-hots (N, L*C).  out_ref: (1, C, Wpad) this level's
+    folded counts."""
+    from jax.experimental import pallas as pl
+
+    k = pl.program_id(0)
+    lk = lw_ref[:, :] + k.astype(jnp.float32) * shift
+    w = jnp.where(lk <= cut, jnp.exp(jnp.clip(lk, -745.0, cut)), 0.0)
+    # (L*C, N) x (N, Pwp) -> (L*C, Pwp) on the MXU, VMEM-resident
+    cw[:, :] = jax.lax.dot_general(
+        oh_ref[:, :], w, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc[:, :] = jnp.zeros_like(acc)
+    for j in range(L):
+        acc[:, j : j + Pw] = acc[:, j : j + Pw] + cw[j * C : (j + 1) * C, :]
+    out_ref[0, :, :] = acc[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("L", "W", "m", "shift", "cut"))
+def _cascade_counts_pallas(logw_masked, oh_flat_j, L: int, W: int, m: int,
+                           shift: float, cut: float):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, Pw = logw_masked.shape
+    LC = oh_flat_j.shape[1]
+    C = LC // L
+    Pwp = -(-Pw // 128) * 128
+    # fold writes reach column Pwp + L - 1; pad W up to cover
+    Wpad = -(-max(W, Pwp + L) // 128) * 128
+    lw = logw_masked.astype(jnp.float32)
+    if Pwp > Pw:
+        lw = jnp.concatenate(
+            [lw, jnp.full((N, Pwp - Pw), -1e30, jnp.float32)], axis=1)
+    out = pl.pallas_call(
+        functools.partial(_cascade_kernel, L=L, C=C, m=m,
+                          shift=float(shift), cut=float(cut), Pw=Pwp),
+        grid=(m,),
+        interpret=(jax.default_backend() != "tpu"),
+        in_specs=[
+            pl.BlockSpec((N, Pwp), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, LC), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, Wpad), lambda k: (k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, C, Wpad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((LC, Pwp), jnp.float32),   # matmul product
+            pltpu.VMEM((C, Wpad), jnp.float32),   # fold accumulator
+        ],
+    )(lw, oh_flat_j.astype(jnp.float32))
+    return out[:, :, :W].transpose(0, 2, 1)      # (m, W, C)
+
+
+# VMEM budget gate: weights + one-hots + product must fit (~16 MB/core)
+_CASCADE_KERNEL_MAX_N = 512
+
+
+def cascade_counts_ok(N: int) -> bool:
+    return use_pallas() and N <= _CASCADE_KERNEL_MAX_N
+
+
+def cascade_counts(logw_masked, oh_flat_j, L: int, W: int, m: int,
+                   shift: float, cut: float):
+    """First ``m`` cascade levels' folded counts, (m, W, 5).
+
+    TPU: fused kernel above.  The caller must gate on cascade_counts_ok and
+    fall back to the XLA grouped-matmul + skew-fold path otherwise."""
+    return _cascade_counts_pallas(logw_masked, oh_flat_j, L, W, m,
+                                  shift, cut)
+
+
+def _fold_kernel(w_ref, oh_ref, out_ref, cw, acc, *, L, C):
+    """Raw-weights variant of _cascade_kernel: one matmul + fold."""
+    cw[:, :] = jax.lax.dot_general(
+        oh_ref[:, :], w_ref[:, :], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc[:, :] = jnp.zeros_like(acc)
+    for j in range(L):
+        acc[:, j : j + cw.shape[1]] = (acc[:, j : j + cw.shape[1]]
+                                       + cw[j * C : (j + 1) * C, :])
+    out_ref[:, :] = acc[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("L", "W"))
+def _fold_counts_pallas(weights, oh_flat_j, L: int, W: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, Pw = weights.shape
+    LC = oh_flat_j.shape[1]
+    C = LC // L
+    Pwp = -(-Pw // 128) * 128
+    Wpad = -(-max(W, Pwp + L) // 128) * 128
+    w = weights.astype(jnp.float32)
+    if Pwp > Pw:
+        w = jnp.concatenate([w, jnp.zeros((N, Pwp - Pw), jnp.float32)],
+                            axis=1)
+    out = pl.pallas_call(
+        functools.partial(_fold_kernel, L=L, C=C),
+        grid=(1,),
+        interpret=(jax.default_backend() != "tpu"),
+        in_specs=[
+            pl.BlockSpec((N, Pwp), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, LC), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, Wpad), lambda k: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, Wpad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((LC, Pwp), jnp.float32),
+            pltpu.VMEM((C, Wpad), jnp.float32),
+        ],
+    )(w, oh_flat_j.astype(jnp.float32))
+    return out[:, :W].T                                   # (W, C)
+
+
+def fold_counts(weights, oh_flat_j, L: int, W: int):
+    """counts[w, c] = sum_r sum_j weights[r, w-j] * oh_j[r, j*C+c] — the
+    accumulate matmul + diagonal fold, fused in VMEM (TPU)."""
+    return _fold_counts_pallas(weights, oh_flat_j, L, W)

@@ -9,8 +9,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 # env-var pinning alone still initialises the axon TPU plugin (and hangs when
-# the tunnel is busy); the config pin is authoritative
-jax.config.update("jax_platforms", "cpu")
+# the tunnel is busy); the config pin is authoritative.
+# FIGBIRD_GOLDEN_TPU=1 keeps the real device: golden parity THROUGH the
+# TPU-only Pallas kernels (band scores, fused cascade fold).
+if os.environ.get("FIGBIRD_GOLDEN_TPU", "") in ("", "0", "false"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 

@@ -10,8 +10,13 @@ logging.basicConfig(level=logging.INFO, format="# %(message)s")
 sys.path.insert(0, "/root/repo")
 import numpy as np
 import jax
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+# FIGBIRD_GOLDEN_TPU=1 keeps the real device (parity through the TPU
+# Pallas kernels); default pins CPU
+if os.environ.get("FIGBIRD_GOLDEN_TPU", "") in ("", "0", "false"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from figbird_tpu.simulate import SimConfig, simulate

@@ -86,3 +86,43 @@ def test_soft_kernel_clamp_matches_fallback():
         jnp.asarray(oh), jnp.asarray(probs), jnp.asarray(eprobs),
         jnp.asarray(e_pos), Wp))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+def test_cascade_kernel_matches_xla_path():
+    """The fused cascade/fold kernels (interpret mode off-TPU) agree with
+    the XLA grouped-matmul + skew-fold path — including exact zeros from
+    the -1e30 legal mask (exp underflow) and overflow-zeroed levels."""
+    from figbird_tpu.fill.em import (_CASCADE_CUT, _CASCADE_SHIFT,
+                                     _accumulate_levels, _oh_flat_c,
+                                     _oh_flat_j)
+    from figbird_tpu.ops.band import cascade_counts, fold_counts
+
+    rng = np.random.default_rng(5)
+    N, L, Pw = 24, 19, 90
+    W = Pw + L
+    logw = rng.uniform(-900.0, 0.0, (N, Pw)).astype(np.float32)
+    legal = rng.random((N, Pw)) < 0.7
+    codes = rng.integers(0, 5, (N, L)).astype(np.int8)
+    jv = jnp.asarray(rng.random((N, L)) < 0.9)
+    oh_j = _oh_flat_j(jnp.asarray(codes), jv)
+    oh_c = _oh_flat_c(jnp.asarray(codes), jv)
+
+    want = np.asarray(_accumulate_levels(
+        jnp.asarray(logw), jnp.asarray(legal), oh_c, L, W, 6))
+    got = np.asarray(cascade_counts(
+        jnp.where(jnp.asarray(legal), jnp.asarray(logw), -1e30), oh_j,
+        L, W, 6, _CASCADE_SHIFT, _CASCADE_CUT))
+    assert want.shape == got.shape == (6, W, 5)
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=0)
+    # exact zeros must match exactly (no spurious mass either way)
+    np.testing.assert_array_equal(got == 0.0, want == 0.0)
+
+    w = rng.random((N, Pw)).astype(np.float32)
+    cwT = jax.lax.dot_general(oh_c, jnp.asarray(w),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    from figbird_tpu.fill.em import _fold_counts_T
+
+    want2 = np.asarray(_fold_counts_T(cwT, L, W))
+    got2 = np.asarray(fold_counts(jnp.asarray(w), oh_j, L, W))
+    np.testing.assert_allclose(got2, want2, rtol=2e-6, atol=0)
