@@ -11,7 +11,7 @@ throughput variance, so a single trial is noise):
 1. one warm-up iteration (compiles included; wall reported as ``warm_s``,
    with a ``cold_cache`` flag for whether the persistent compile cache was
    empty — scripts/precompile.py populates it ahead of time);
-2. ``BENCH_TRIALS`` (default 3) timed iterations on fresh pipelines over the
+2. ``BENCH_TRIALS`` (default 5) timed iterations on fresh pipelines over the
    SAME inputs; the reported throughput is the MEDIAN, with the relative
    spread (max-min)/median alongside;
 3. one reference-exact iteration (uncapped candidate-length scans, uncapped
@@ -71,7 +71,7 @@ def _strings_equal(a: list, b: list) -> bool:
 
 def main():
     scale = float(os.environ.get("BENCH_SCALE", "1.0"))
-    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    trials = int(os.environ.get("BENCH_TRIALS", "5"))
     run_exact = os.environ.get("BENCH_EXACT", "1") not in ("0", "false", "")
     # Persistent compile cache (the reference's analogue: its g++ binaries
     # persist between runs).  Must be set via jax.config — the axon

@@ -1211,15 +1211,18 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
                                large_break=False)
 
     def run_full(gi_, gl_, tier="full", width=None):
-        # full-packed outputs are layout-dependent on max_gap_len: always
-        # full width (re-runs are 2-3 instances per gap — not the hot path)
-        return fill_batch_full_packed(_cfg_for(tier), gap_arrays, put_i(gi_),
+        # full-packed outputs are layout-dependent on max_gap_len — the
+        # caller groups instances per width class and parses with that
+        # class's full_packed_layout
+        c = _cfg_for_w(tier, width or cfg.max_gap_len)
+        return fill_batch_full_packed(c, gap_arrays, put_i(gi_),
                                       put_i(gl_), marr,
                                       finalize_flag=large_flag)
 
-    run_fin = lambda gi_, gl_, bs, sv, svl, svr: finalize_batch_packed(
-        cfg, gap_arrays, put_i(gi_), put_i(gl_), marr, put_i(bs), put_i(sv),
-        put_i(svl), put_i(svr))
+    run_fin = lambda gi_, gl_, bs, sv, svl, svr, width: \
+        finalize_batch_packed(
+            _cfg_for_w("xfull", width), gap_arrays, put_i(gi_), put_i(gl_),
+            marr, put_i(bs), put_i(sv), put_i(svl), put_i(svr))
 
     nb = instance_batch
 
@@ -1468,118 +1471,163 @@ def _fill_bucket(genome, plans, gids, cfg, marr, large_flag, partial_mode,
         chosen[gi] = (best_j, orig_j, second_j)
 
     # ---- winner + original re-run (full packed outputs) ------------------
-    lay = full_packed_layout(cfg)
-    rr_rows, rr_lens, rr_key = [], [], []
+    # width-classed like the scan: each GAP gets the tightest class that
+    # covers every length it re-runs (and finalizes) at — bit-identical
+    # (see _w_classes), and at chr14's 5k gaps it cuts the padded re-run/
+    # finalize compute 2-3x.  Consensus/counts pad back to the bucket
+    # width on host (rows past the class are N / zero in the full program
+    # too: zero counts -> consensus N).
+    cls_of = {}
+    rr_need = {}
     for gi in gids:
         best_j, orig_j, second_j = chosen[gi]
         need = {("best", evl[gi][best_j]), ("orig", evl[gi][orig_j])}
         if second_best is not None and 0 <= second_j < len(evl[gi]):
             need.add(("second", evl[gi][second_j]))
-        for tag, ln in sorted(need):
-            rr_rows.append(row_of[gi])
-            rr_lens.append(ln)
-            rr_key.append((gi, tag, ln))
+        rr_need[gi] = sorted(need)
+        cls_of[gi] = _wclass(max(ln for _, ln in need))
     _td = _time.time()
     # 2-3 instances per gap: pad to a small fixed batch
     nbr = min(nb, 256)
-    rr_host = _dispatch_rows(run_full, rr_rows, rr_lens, _rtier0, nbr)
-    if len(rr_rows):
-        _escalate(run_full, rr_rows, rr_lens, rr_host,
+    rr = {}
+    for wcls in _w_classes:
+        gsub = [gi for gi in gids if cls_of[gi] == wcls]
+        if not gsub:
+            continue
+        rr_rows, rr_lens, rr_key = [], [], []
+        for gi in gsub:
+            for tag, ln in rr_need[gi]:
+                rr_rows.append(row_of[gi])
+                rr_lens.append(ln)
+                rr_key.append((gi, tag, ln))
+        fn_w = (lambda gi_, gl_, tier="full", width=None, _w=wcls:
+                run_full(gi_, gl_, tier, _w))
+        lay = full_packed_layout(_cfg_for_w("xfull", wcls))
+        rr_host = _dispatch_rows(fn_w, rr_rows, rr_lens, _rtier0, nbr)
+        _escalate(fn_w, rr_rows, rr_lens, rr_host,
                   lay["bailed"][0], lay["prec"][0], nbr, "rerun",
                   xtier=True)
+        pad_c = cfg.max_gap_len - wcls
+        for t, (gi, tag, ln) in enumerate(rr_key):
+            row = rr_host[t]
+
+            def col(name):
+                s, e = lay[name]
+                return row[s:e]
+
+            cons = col("consensus").astype(np.int8)
+            if pad_c:
+                cons = np.concatenate(
+                    [cons, np.full(pad_c, 4, np.int8)])
+            rr[(gi, tag)] = dict(
+                consensus=cons,
+                accept=col("accept") > 0.5,
+                pos=col("pos").astype(np.int32),
+                saved_l=int(col("saved_l")[0]),
+                saved_r=int(col("saved_r")[0]),
+                region_perct=float(col("region_perct")[0]), length=ln)
     stats["t_rerun"] = stats.get("t_rerun", 0) + round(_time.time() - _td, 3)
-    rr = {}
-    for t, (gi, tag, ln) in enumerate(rr_key):
-        row = rr_host[t]
-
-        def col(name):
-            s, e = lay[name]
-            return row[s:e]
-
-        rr[(gi, tag)] = dict(
-            consensus=col("consensus").astype(np.int8),
-            accept=col("accept") > 0.5,
-            pos=col("pos").astype(np.int32),
-            saved_l=int(col("saved_l")[0]), saved_r=int(col("saved_r")[0]),
-            region_perct=float(col("region_perct")[0]), length=ln)
     for gi in gids:
         best_j, orig_j, second_j = chosen[gi]
         if second_best is not None and (gi, "second") in rr:
             sb = rr[(gi, "second")]
             second_best[gi] = (sb["length"], sb["consensus"].copy())
 
-    # ---- finalize (packed) ----------------------------------------------
-    flay = finalize_packed_layout(cfg)
-    fin_rows, fin_lens, fin_best, fin_sv, fin_svl, fin_svr, fin_gis = (
-        [], [], [], [], [], [], [])
-    for gi in gids:
-        plan = plans[gi]
-        b = rr[(gi, "best")]
-        fin_gis.append(gi)
-        fin_rows.append(row_of[gi])
-        fin_lens.append(b["length"])
-        fin_best.append(b["consensus"][: cfg.max_gap_len])
-        if not partial_mode and (plan.less_read or plan.side_flag):
-            # saved_reads never set (Figbird.cpp:1709 vs 6369) -> no accepts
-            fin_sv.append(np.zeros_like(b["accept"], np.int8))
-        else:
-            fin_sv.append(b["accept"].astype(np.int8))
-        fin_svl.append(b["saved_l"])
-        fin_svr.append(b["saved_r"])
+    # ---- finalize (packed), width-classed like the re-runs ---------------
     _tf = _time.time()
-    fin_dev = []
-    # finalize runs once per GAP: pad to a small fixed batch so the padded
-    # tail doesn't cost 10x the real work
-    nbf = min(nb, 64)
-    for c0 in range(0, len(fin_rows), nbf):
-        sl = slice(c0, c0 + nbf)
-        m = len(fin_rows[sl])
-        pad = nbf - m
-        gi_ = jnp.asarray(np.asarray(list(fin_rows[sl]) + [0] * pad, np.int32))
-        gl_ = jnp.asarray(np.asarray(list(fin_lens[sl]) + [1] * pad, np.int32))
-        best = np.stack(fin_best[sl])
-        if pad:
-            best = np.concatenate([best, np.full((pad,) + best.shape[1:], 4,
-                                                 best.dtype)])
-        sv = np.stack(fin_sv[sl])
-        if pad:
-            sv = np.concatenate([sv, np.zeros((pad,) + sv.shape[1:],
-                                              np.int8)])
-        svl = np.asarray(fin_svl[sl] + [-1] * pad, np.int32)
-        svr = np.asarray(fin_svr[sl] + [-1] * pad, np.int32)
-        fin_dev.append(run_fin(gi_, gl_, jnp.asarray(best), jnp.asarray(sv),
-                               jnp.asarray(svl), jnp.asarray(svr)))
-    fin_host = np.concatenate([np.asarray(x) for x in jax.device_get(fin_dev)]
-                              )[: len(fin_rows)]
+    fin_parsed = {}
+    for wcls in _w_classes:
+        gsub = [gi for gi in gids if cls_of[gi] == wcls]
+        if not gsub:
+            continue
+        cfg_w = _cfg_for_w("xfull", wcls)
+        flay = finalize_packed_layout(cfg_w)
+        fin_rows, fin_lens, fin_best, fin_sv, fin_svl, fin_svr, fin_gis = (
+            [], [], [], [], [], [], [])
+        for gi in gsub:
+            plan = plans[gi]
+            b = rr[(gi, "best")]
+            fin_gis.append(gi)
+            fin_rows.append(row_of[gi])
+            fin_lens.append(b["length"])
+            fin_best.append(b["consensus"][:wcls])
+            if not partial_mode and (plan.less_read or plan.side_flag):
+                # saved_reads never set (Figbird.cpp:1709 vs 6369) -> no
+                # accepts
+                fin_sv.append(np.zeros_like(b["accept"], np.int8))
+            else:
+                fin_sv.append(b["accept"].astype(np.int8))
+            fin_svl.append(b["saved_l"])
+            fin_svr.append(b["saved_r"])
+        fin_dev = []
+        # finalize runs once per GAP: full nb-sized chunks amortise
+        # dispatch (at chr14's 4-5k gaps per bucket, 64-wide batches cost
+        # 24 s of pure dispatch overhead), with a rounded-up ladder tail
+        # so a 50-gap bucket still doesn't pad to the full batch
+        c0 = 0
+        for nbf in _chunk_sizes(len(fin_rows), nb):
+            sl = slice(c0, c0 + nbf)
+            c0 += nbf
+            m = len(fin_rows[sl])
+            pad = nbf - m
+            gi_ = jnp.asarray(np.asarray(list(fin_rows[sl]) + [0] * pad,
+                                         np.int32))
+            gl_ = jnp.asarray(np.asarray(list(fin_lens[sl]) + [1] * pad,
+                                         np.int32))
+            best = np.stack(fin_best[sl])
+            if pad:
+                best = np.concatenate(
+                    [best, np.full((pad,) + best.shape[1:], 4, best.dtype)])
+            sv = np.stack(fin_sv[sl])
+            if pad:
+                sv = np.concatenate([sv, np.zeros((pad,) + sv.shape[1:],
+                                                  np.int8)])
+            svl = np.asarray(fin_svl[sl] + [-1] * pad, np.int32)
+            svr = np.asarray(fin_svr[sl] + [-1] * pad, np.int32)
+            fin_dev.append(run_fin(gi_, gl_, jnp.asarray(best),
+                                   jnp.asarray(sv), jnp.asarray(svl),
+                                   jnp.asarray(svr), wcls))
+        fin_host = np.concatenate(
+            [np.asarray(x) for x in jax.device_get(fin_dev)]
+        )[: len(fin_rows)]
+        gpad = cfg.max_gap_len - wcls
+        for t, gi in enumerate(fin_gis):
+            row = fin_host[t]
+
+            def fcol(name):
+                s, e = flay[name]
+                return row[s:e]
+
+            counts = fcol("counts").reshape(wcls, 5).copy()
+            if gpad:
+                counts = np.concatenate(
+                    [counts, np.zeros((gpad, 5), counts.dtype)])
+            fin = dict(
+                counts=counts,
+                accept=fcol("accept") > 0.5,
+                pos=fcol("pos").astype(np.int32),
+                used=int(fcol("used")[0]))
+            if partial_mode:
+                q = fcol("qual").reshape(wcls, 5)
+                if gpad:
+                    q = np.concatenate([q, np.zeros((gpad, 5), q.dtype)])
+                fin["qual"] = q
+            else:
+                fin["left_right_check"] = fcol("left_right_check") > 0.5
+                fin["umax_left"] = int(fcol("umax_left")[0])
+                fin["umax_right"] = int(fcol("umax_right")[0])
+                fin["left_start_zero"] = bool(fcol("left_start_zero")[0])
+                fin["right_fin_glen"] = bool(fcol("right_fin_glen")[0])
+            fin_parsed[gi] = (fin, fin_lens[t])
     stats["t_finalize"] = stats.get("t_finalize", 0) + round(
         _time.time() - _tf, 3)
 
     # ---- host guard battery ---------------------------------------------
     _tg = _time.time()
-    maxg5 = cfg.max_gap_len * 5
-    for t, gi in enumerate(fin_gis):
+    for gi in gids:
         plan = plans[gi]
-        row = fin_host[t]
-
-        def fcol(name):
-            s, e = flay[name]
-            return row[s:e]
-
-        fin = dict(
-            counts=fcol("counts").reshape(cfg.max_gap_len, 5).copy(),
-            accept=fcol("accept") > 0.5,
-            pos=fcol("pos").astype(np.int32),
-            used=int(fcol("used")[0]))
-        if partial_mode:
-            fin["qual"] = fcol("qual").reshape(cfg.max_gap_len, 5)
-        else:
-            fin["left_right_check"] = fcol("left_right_check") > 0.5
-            fin["umax_left"] = int(fcol("umax_left")[0])
-            fin["umax_right"] = int(fcol("umax_right")[0])
-            fin["left_start_zero"] = bool(fcol("left_start_zero")[0])
-            fin["right_fin_glen"] = bool(fcol("right_fin_glen")[0])
+        fin, best_len = fin_parsed[gi]
         o = rr[(gi, "orig")]
-        best_len = fin_lens[t]
         if partial_mode:
             s = _finish_partial(plan, best_len, cfg, fin,
                                 o["accept"], o["pos"])

@@ -56,12 +56,13 @@ pipe.run_iteration("u", 0)
 print(f"# unmapped programs compiled ({time.time()-t0:.0f}s)",
       file=sys.stderr)
 
-# attribution-trial program sets (bench.py: exact_rps / exact_soft wall) —
-# warmed here so the bench's isolation trials measure steady state, not
-# first-time compiles (VERDICT r4 #8)
+# attribution-trial program sets (bench.py: exact_rps / exact_soft /
+# fast_f32 / u reference-exact) — warmed here so the bench's isolation
+# trials measure steady state, not first-time compiles (VERDICT r4 #8)
 for label, fk in (("exact_soft", {"exact_soft": True}),
                   ("uncapped", {"max_scan_lengths": 0}),
-                  ("fast_noprec", {"exact_soft": False})):
+                  ("fast_f32", {"exact_soft": False}),
+                  ("reference_exact", {"reference_exact": True})):
     p2 = Pipeline(cfg, sim.draft, [(sim.reads1, sim.reads2)],
                   aligner_kwargs={"batch_size": BS}, fill_kwargs=fk)
     p2.run_iteration("p", 0)
