@@ -25,10 +25,17 @@ import os, sys, time
 # force CPU devices (the shell env may carry JAX_PLATFORMS=axon; see
 # tests/conftest.py — overwrite, don't setdefault)
 os.environ["JAX_PLATFORMS"] = "cpu"
+# FH_DEVICES: virtual-device count.  XLA's in-process CPU collectives have a
+# hard 40 s rendezvous termination timeout (rendezvous.cc), so on a host with
+# few physical cores a wide virtual mesh running heavy per-shard programs can
+# abort when one starved device thread reaches the all-gather >40 s after the
+# rest.  Real multi-chip TPU meshes have no such skew; pick a width the host
+# can actually co-schedule (<= ~2x physical cores).
+N_DEV = int(os.environ.get("FH_DEVICES", "8"))
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+        _flags + f" --xla_force_host_platform_device_count={N_DEV}").strip()
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
@@ -92,7 +99,7 @@ cfg = FigbirdConfig(
     parameters=Parameters(trim_len=0, genome_shard="contig"),
 )
 
-mesh = make_mesh(8, genome_shards=8)
+mesh = make_mesh(N_DEV, genome_shards=N_DEV)
 print(f"# mesh {mesh.shape}", file=sys.stderr)
 
 t0 = time.time()
@@ -119,7 +126,7 @@ def _take(rb, rows):
 r1s, r2s = _take(sim.reads1, keep), _take(sim.reads2, keep)
 strings = {}
 for label, kw in (
-        ("sharded", dict(mesh=make_mesh(8, genome_shards=8),
+        ("sharded", dict(mesh=make_mesh(N_DEV, genome_shards=N_DEV),
                          aligner_kwargs={"genome_shard": "contig",
                                          "contig_shard_threshold": 1})),
         ("replicated", dict())):
@@ -151,7 +158,7 @@ with open(os.path.join(repo, "FULL_HUMAN_r05.md"), "w") as fh:
              f"(padded flat {flat_est:,} positions > 2^31), "
              f"{n_reads:,} reads at {COVERAGE}x, {N_GAPS} gaps "
              f"(lognormal tail).\n\n")
-    fh.write("## End-to-end iteration (8-device CPU mesh, "
+    fh.write(f"## End-to-end iteration ({N_DEV}-device CPU mesh, "
              "genome_shard='contig')\n\n")
     fh.write(f"- wall: **{wall:.0f} s** (CPU devices; alignment dominates)\n")
     fh.write(f"- Ns {st.n_before:,} -> {st.n_after:,} "
