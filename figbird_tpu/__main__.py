@@ -18,6 +18,18 @@ def main(argv=None) -> int:
     from .parallel.distributed import init_from_env
 
     init_from_env()
+    # Persistent XLA compile cache: the analogue of the reference's
+    # compiled binaries persisting between RunFigbird.sh invocations.
+    # Programs are shape-quantized (see scripts/precompile.py), so cache
+    # entries are reused across datasets of any size.
+    import os as _os
+
+    import jax as _jax
+
+    _cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    if _cache:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     ap = argparse.ArgumentParser(
         prog="figbird_tpu",
         description="TPU-native iterative gap filling (Figbird-equivalent)")
